@@ -1,0 +1,31 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+TPU compiles are slow (~20-40s per shape) and the CI box has a single chip;
+the JAX computations here are platform-independent integer programs, so the
+suite runs on CPU with 8 virtual devices to also exercise the multi-chip
+sharding paths.  Benchmarks (bench.py) run on the real TPU.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import random
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0xB15)
+
+
+@pytest.fixture
+def nprng():
+    return np.random.default_rng(0xB15)
