@@ -20,6 +20,13 @@ import random
 import numpy as np
 import pytest
 
+import jax
+
+# Persistent compilation cache: the suite compiles many small integer
+# programs; caching makes re-runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_bls12_381_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 @pytest.fixture
 def rng():
