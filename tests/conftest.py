@@ -8,7 +8,12 @@ sharding paths.  Benchmarks (bench.py) run on the real TPU.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU platform (virtual 8-device mesh).  NOTE: this box has one
+# CPU core and XLA compilation is routed through the environment's
+# remote-compile service (sitecustomize + PALLAS_AXON_REMOTE_COMPILE) — that
+# service is the *fast* compile path here; graphs are kept stage-sized so
+# each compile stays in the seconds range and hits the persistent cache.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,392 @@
+"""TPU-native Pippenger multi-scalar multiplication for G1 and G2.
+
+The reference GPU pipeline (msm_kernels.cu:602-903) is built around
+scatter/atomics hardware: signed-digit decomposition -> warp-aggregated
+histogram -> radix sort -> per-bucket serial/cooperative accumulation ->
+triangle reduction.  TPUs have no atomics, no scatter, and no per-lane
+dynamic indexing, so bucket accumulation is re-derived around three TPU
+strengths — `lax.sort`, wide sequential `lax.scan`, and the group structure
+of the curve:
+
+1. **Signed-digit windows** (same math as msm_kernels.cu:68-213): w-bit
+   digits in [-(2^(w-1)-1), 2^(w-1)], bucket id |d| in 1..2^(w-1), zero
+   digits routed to a sentinel key — the constant-shape analog of the
+   reference's trash bucket.
+2. **Sort by bucket** (`lax.sort_key_val` on (key, index) pairs, then a
+   single coordinate gather) — playing CUB DeviceRadixSort's role.
+3. **Prefix-sum bucket extraction**: arrange the sorted points
+   column-major into an (R, L) tile; one `lax.scan` down the R rows
+   (a full-width mixed add per step — the hot loop, total work = N mixed
+   adds, same as the GPU) yields per-column inclusive prefix sums; a
+   log2(L) Hillis-Steele pass stitches column carries.  Because the curve
+   is a *group*, each bucket sum is then just S[end_b] - S[start_b - 1]
+   (prefix difference with a negated point) — no segmented reduction, no
+   multiplicity bounds, no data-dependent shapes, constant-time for any
+   scalar distribution.
+4. **Weighted triangle reduction** sum_b b * bucket_b via suffix scans
+   over a (Rb, Lb) bucket tile (log-depth), replacing the reference's
+   Blelloch suffix-scan kernel (msm_kernels.cu:375-513).
+5. **Horner window combine** with w doublings per window
+   (msm_kernels.cu:528-596 analog) under `lax.scan`.
+
+Everything is static-shape, branch-free, and batched over lanes; the same
+code instantiates G1 (Fq) and G2 (Fq2) via the field adapters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+from ..curves import points as pt
+from ..curves.field_adapters import FQ_ADAPTER, FQ2_ADAPTER
+from ..fields import FR, ops
+
+tree_map = jax.tree_util.tree_map
+
+FR_BITS = 255
+
+
+def window_bits_for(n: int) -> int:
+    """Window size heuristic (analog of the table in msm.cuh:115-133).
+
+    TPU cost model: per-window work is N mixed adds (scan) + O(B) lane ops,
+    so w grows with log2(N) until the bucket-tile overhead bites.
+    """
+    if n <= 0:
+        return 4
+    ln = max(1, n).bit_length() - 1
+    return int(np.clip(ln - 5, 4, 15))
+
+
+def decompose_signed_digits(scalars_std, w: int):
+    """Standard-form Fr scalars (16, N) -> (T, N) |digit| and sign arrays.
+
+    T = ceil(255 / w) + 1 (the +1 absorbs the final carry).  Digits are in
+    [-(2^(w-1)-1), 2^(w-1)]; returns (abs_digit uint32, sign bool).
+    Mirrors the signed-digit-with-carry scheme of msm_kernels.cu:68-213.
+    """
+    num_windows = -(-FR_BITS // w) + 1
+    K = scalars_std.shape[0]
+    n_shape = scalars_std.shape[1:]
+    # pad two zero limb rows for cross-boundary extraction
+    z = jnp.zeros((2,) + n_shape, dtype=jnp.uint32)
+    s = jnp.concatenate([scalars_std.astype(jnp.uint32), z], axis=0)
+    wmask = jnp.uint32((1 << w) - 1)
+    half = jnp.uint32(1 << (w - 1))
+    full = jnp.uint32(1 << w)
+
+    abs_digits = []
+    signs = []
+    carry = jnp.zeros(n_shape, dtype=jnp.uint32)
+    for t in range(num_windows):
+        o = w * t
+        i0, sh = o >> 4, o & 15
+        raw = s[i0] >> jnp.uint32(sh)
+        if sh:
+            raw = raw | (s[i0 + 1] << jnp.uint32(16 - sh))
+        raw = raw & wmask
+        v = raw + carry  # <= 2^w
+        is_neg = v > half
+        digit = jnp.where(is_neg, full - v, v)  # |d|
+        carry = jnp.where(is_neg, jnp.uint32(1), jnp.uint32(0))
+        abs_digits.append(digit)
+        signs.append(is_neg)
+    return jnp.stack(abs_digits), jnp.stack(signs)
+
+
+def _shift_dyn(F, P, d, direction: str):
+    """Shift a lane-batched Jacobian by a (possibly traced) distance d along
+    the last axis, filling vacated slots with the identity.  Uses roll +
+    mask so the op shape is independent of d (fori-loop friendly)."""
+    L = jax.tree_util.tree_leaves(P[0])[0].shape[-1]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    ident = pt.jac_identity(F, F.batch_shape(P[0]))
+    if direction == "right":  # element l takes value from l-d
+        rolled = tree_map(lambda c: jnp.roll(c, d, axis=-1), P)
+        mask = idx >= d
+    else:  # element l takes value from l+d
+        rolled = tree_map(lambda c: jnp.roll(c, -d, axis=-1), P)
+        mask = idx < (L - d)
+    return pt.jac_cmov(F, mask, rolled, ident)
+
+
+def _scan_steps(L: int) -> int:
+    return max(L - 1, 1).bit_length() if L > 1 else 0
+
+
+def _lane_prefix_exclusive(F, P):
+    """Exclusive prefix point-sums along the last axis.
+
+    Hillis-Steele rolled into a fori_loop (one traced jac_add body)."""
+    L = jax.tree_util.tree_leaves(P[0])[0].shape[-1]
+
+    def body(i, acc):
+        d = jnp.int32(1) << i
+        return pt.jac_add(F, acc, _shift_dyn(F, acc, d, "right"))
+
+    incl = jax.lax.fori_loop(0, _scan_steps(L), body, P)
+    return _shift_dyn(F, incl, jnp.int32(1), "right")
+
+
+def _lane_suffix_inclusive(F, P):
+    L = jax.tree_util.tree_leaves(P[0])[0].shape[-1]
+
+    def body(i, acc):
+        d = jnp.int32(1) << i
+        return pt.jac_add(F, acc, _shift_dyn(F, acc, d, "left"))
+
+    return jax.lax.fori_loop(0, _scan_steps(L), body, P)
+
+
+def _sum_last_axis(F, P):
+    """Point sum along the last axis (suffix scan, take slot 0)."""
+    S = _lane_suffix_inclusive(F, P)
+    return tree_map(lambda c: c[..., 0], S)
+
+
+def _gather_points(A, idx):
+    """Gather an affine batch along its batch axis (limbs-first leaves)."""
+    x, y, inf = A
+    gx = tree_map(lambda c: c[:, idx], x)
+    gy = tree_map(lambda c: c[:, idx], y)
+    return gx, gy, inf[idx]
+
+
+def _gather_jac_rows(P_rows, r_idx, l_idx):
+    """Gather from scan-stacked Jacobian rows: leaves (R, K, L) -> (K, B)."""
+    return tree_map(lambda c: c[r_idx, :, l_idx].T, P_rows)
+
+
+def _weighted_index_sum(F, P):
+    """sum_j j * P[j] over the last axis via suffix sums (log depth).
+
+    sum_j j*P_j = sum_{k>=1} S_k where S_k = sum_{j>=k} P_j.
+    Returns (weighted_sum, plain_sum) — the plain sum (= S_0) falls out free.
+    """
+    S = _lane_suffix_inclusive(F, P)
+    total_tail = _sum_last_axis(F, S)  # sum_k S_k  (k >= 0)
+    S0 = tree_map(lambda c: c[..., 0], S)
+    return pt.jac_add(F, total_tail, pt.jac_neg(F, S0)), S0
+
+
+def _double_n(F, P, times: int):
+    def body(_, acc):
+        return pt.jac_double(F, acc)
+
+    return jax.lax.fori_loop(0, times, body, P)
+
+
+# -----------------------------------------------------------------------------
+# Stage-jitted pipeline.
+#
+# The MSM is orchestrated as a Python loop over windows calling a handful of
+# moderately-sized jitted stages (identical shapes every window, so each
+# stage compiles exactly once per MSM configuration).  A single monolithic
+# jit would contain dozens of group-op bodies and blow up XLA compile time;
+# stage granularity keeps every compile unit at roughly one-to-two Jacobian
+# adds' worth of HLO — the same scale as the NTT butterfly graphs.
+# -----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _stage_sort_tile(F, key, R: int, L: int, x, y, yneg, sign, inf):
+    """Sort by bucket key, gather coordinates, apply digit signs, and tile
+    column-major into scan rows.  No field arithmetic — compiles fast.
+
+    Plays the role of CUB DeviceRadixSort + index packing
+    (msm_kernels.cu:763-781).
+    """
+    n = inf.shape[-1]
+    pad = R * L - n
+    if pad:
+        key = jnp.concatenate([key, jnp.full((pad,), key.dtype.type(0xFFFF), key.dtype)])
+    key_sorted, perm = jax.lax.sort_key_val(
+        key, (jnp.arange(R * L, dtype=jnp.uint32) % jnp.uint32(n))
+    )
+    gx = tree_map(lambda c: c[:, perm], x)
+    gy = tree_map(lambda c: c[:, perm], y)
+    gyn = tree_map(lambda c: c[:, perm], yneg)
+    gsign = sign[perm]
+    gy = F.cmov(gsign, gyn, gy)
+    ginf = inf[perm] | (key_sorted >= jnp.uint32(0xFFFF))
+
+    # column-major tiles: flat index e = l*R + r -> [r, l]; rows first
+    def tile_rows(c):
+        t = c.reshape(c.shape[:-1] + (L, R)).swapaxes(-1, -2)
+        return jnp.moveaxis(t, -2, 0)
+
+    x_rows = tree_map(tile_rows, gx)
+    y_rows = tree_map(tile_rows, gy)
+    inf_rows = jnp.moveaxis(ginf.reshape(L, R).swapaxes(-1, -2), -2, 0)
+    return key_sorted, x_rows, y_rows, inf_rows
+
+
+@partial(jax.jit, static_argnums=0)
+def _stage_scan(F, x_rows, y_rows, inf_rows):
+    """Row scan of mixed adds — the hot loop (total work = N mixed adds,
+    the analog of the bucket-accumulation kernels, msm_kernels.cu:268-366).
+
+    Returns per-column inclusive prefix sums (R, .., L) and column totals.
+    """
+    L = inf_rows.shape[-1]
+    ident = pt.jac_identity(F, (L,))
+
+    def step(acc, row):
+        rx, ry, rinf = row
+        acc = pt.jac_add_affine(F, acc, (rx, ry, rinf))
+        return acc, acc
+
+    col_total, prefix_rows = jax.lax.scan(step, ident, (x_rows, y_rows, inf_rows))
+    return col_total, prefix_rows
+
+
+@partial(jax.jit, static_argnums=0)
+def _stage_stitch(F, col_total):
+    """Exclusive prefix point-sums of column totals (log-depth lane scan)."""
+    return _lane_prefix_exclusive(F, col_total)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _stage_boundary(F, key_sorted, col_carry, nb: int, prefix_rows):
+    """Dense bucket sums by prefix difference at sorted bucket boundaries.
+
+    bucket_b = S[end_b] - S[start_b - 1]; S[e] = col_carry[l] + prefix[r, l].
+    Replaces the reference's per-bucket accumulation + trash-bucket logic
+    with a pure gather/group-subtract (constant shape for any input).
+    """
+    leaf = jax.tree_util.tree_leaves(prefix_rows[0])[0]
+    R, L = leaf.shape[0], leaf.shape[-1]
+    b_vals = jnp.arange(1, nb + 1, dtype=jnp.uint32)
+    starts = jnp.searchsorted(key_sorted, b_vals, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(key_sorted, b_vals, side="right").astype(jnp.int32)
+    cnt = ends - starts
+
+    pos = jnp.concatenate([ends - 1, starts - 1])  # (2*nb,)
+    valid = jnp.concatenate([cnt > 0, (cnt > 0) & (starts > 0)])
+    p = jnp.clip(pos, 0, R * L - 1)
+    r_idx, l_idx = p % R, p // R
+    part = _gather_jac_rows(prefix_rows, r_idx, l_idx)  # (K, 2*nb)
+    carry = tree_map(lambda c: c[..., l_idx], col_carry)
+    S = pt.jac_add(F, part, carry)
+    S = pt.jac_cmov(F, valid, S, pt.jac_identity(F, (2 * nb,)))
+    S_hi = tree_map(lambda c: c[..., :nb], S)
+    S_lo = tree_map(lambda c: c[..., nb:], S)
+    sums = pt.jac_add(F, S_hi, pt.jac_neg(F, S_lo))
+    return pt.jac_cmov(F, cnt > 0, sums, pt.jac_identity(F, (nb,)))
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _stage_triangle_scans(F, buckets, nb: int):
+    """Suffix-scan phase of sum_b b*P_b over a (Rb, Lb) bucket tile.
+
+    Row- and column-sum scans are batched into one (2, Lb)-lane pass so the
+    stage contains a single pair of scan bodies.
+    Returns (w_rows, w_cols, total).
+    """
+    Lb = min(128, nb)
+    Rb = nb // Lb
+    tiled = tree_map(lambda c: c.reshape(c.shape[:-1] + (Rb, Lb)), buckets)
+
+    # Col_l = sum_r P[r,l]; Row_r = sum_l P[r,l]
+    ct = tree_map(lambda c: c.swapaxes(-1, -2), tiled)  # (K, Lb, Rb)
+    col_l = _sum_last_axis(F, ct)   # (K, Lb)
+    row_sum = _sum_last_axis(F, tiled)  # (K, Rb)
+    # pad rows to Lb lanes and batch both weighted sums in one pass
+    idR = pt.jac_identity(F, (Lb - Rb,)) if Lb > Rb else None
+    if Lb > Rb:
+        row_sum = tree_map(
+            lambda c, i: jnp.concatenate([c, i], axis=-1), row_sum, idR
+        )
+    both = tree_map(lambda a, b: jnp.stack([a, b], axis=-2), row_sum, col_l)
+    w_both, s_both = _weighted_index_sum(F, both)  # (K, 2)
+    w_rows = tree_map(lambda c: c[..., 0], w_both)
+    w_cols = tree_map(lambda c: c[..., 1], w_both)
+    total = tree_map(lambda c: c[..., 1], s_both)  # sum of Col_l = sum_j P_j
+    return w_rows, w_cols, total
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits: int):
+    """W = 2^lb_bits * w_rows + w_cols + total (window triangle total)."""
+    part = _double_n(F, w_rows, lb_bits)
+    out = pt.jac_add(F, part, w_cols)
+    return pt.jac_add(F, out, total)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _stage_horner(F, Ws, w: int):
+    """Combine window sums top-down: acc = 2^w acc + W_t
+    (msm_kernels.cu:528-596 analog)."""
+    Ws_rev = tree_map(lambda c: c[::-1], Ws)
+
+    def combine(acc, Wt):
+        acc = _double_n(F, acc, w)
+        return pt.jac_add(F, acc, Wt), 0
+
+    top = tree_map(lambda c: c[0], Ws_rev)
+    rest = tree_map(lambda c: c[1:], Ws_rev)
+    out, _ = jax.lax.scan(combine, top, rest)
+    return out
+
+
+@partial(jax.jit, static_argnums=0)
+def _stage_neg_y(F, y):
+    return F.neg(y)
+
+
+def msm(F, scalars, A, *, window_bits: int | None = None,
+        scalars_montgomery: bool = True):
+    """MSM: sum_i scalars[i] * A[i] over the curve with field adapter F.
+
+    scalars: (16, N) uint32 Fr limbs (Montgomery form by default, matching
+    the device convention; the standard-form conversion mirrors
+    scalars_from_montgomery_kernel, icicle_curve_api.cu:46-58).
+    A: affine batch (x, y, inf).  Returns a single Jacobian point.
+    """
+    x, y, inf = A
+    n = inf.shape[-1]
+    if n > (1 << constants.MAX_MSM_LOG_SIZE):
+        raise ValueError(f"MSM size {n} exceeds 2^{constants.MAX_MSM_LOG_SIZE}")
+    if scalars_montgomery:
+        scalars = ops.from_mont(FR, scalars)
+    w = window_bits or window_bits_for(n)
+    nb = 1 << (w - 1)
+    # lane width: ~sqrt(n), power of two, within [8, 2048]
+    L = 1 << int(np.clip(round(np.log2(max(n, 4)) / 2), 3, 11))
+    R = -(-n // L)
+    lb_bits = min(128, nb).bit_length() - 1
+
+    abs_d, signs = decompose_signed_digits(scalars, w)  # (T, N)
+    T = int(abs_d.shape[0])
+    sent = jnp.uint32(nb + 1)
+    yneg = _stage_neg_y(F, y)
+
+    window_sums = []
+    for t in range(T):
+        digit = abs_d[t]
+        key = jnp.where(digit == 0, sent, digit)
+        key_sorted, x_rows, y_rows, inf_rows = _stage_sort_tile(
+            F, key, R, L, x, y, yneg, signs[t], inf
+        )
+        col_total, prefix_rows = _stage_scan(F, x_rows, y_rows, inf_rows)
+        col_carry = _stage_stitch(F, col_total)
+        buckets = _stage_boundary(F, key_sorted, col_carry, nb, prefix_rows)
+        w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
+        window_sums.append(
+            _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
+        )
+    Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
+    return _stage_horner(F, Ws, w)
+
+
+def msm_g1(scalars, A, **kw):
+    return msm(FQ_ADAPTER, scalars, A, **kw)
+
+
+def msm_g2(scalars, A, **kw):
+    return msm(FQ2_ADAPTER, scalars, A, **kw)
