@@ -20,7 +20,11 @@ from ..fields import FQ, ops
 
 
 class FqAdapter:
-    """Base-field ops over a FieldSpec (Montgomery domain)."""
+    """Base-field ops over a FieldSpec (Montgomery domain).
+
+    Multiplies use the scan-based CIOS (ops.mont_mul default) — measured
+    faster than the unrolled form on TPU in both compile and runtime.
+    """
 
     def __init__(self, spec):
         self.spec = spec

@@ -102,21 +102,84 @@ def _rows(x):
     return [x[i] for i in range(x.shape[0])]
 
 
+# --- scan-based carry machinery (compact graphs) -----------------------------
+#
+# Carry/borrow propagation is inherently limb-sequential; expressing it as
+# `lax.scan` keeps every field op's traced graph ~K-times smaller than the
+# unrolled chains, which matters enormously for XLA compile time (a single
+# unrolled Fq mixed-point-add took minutes to compile).  Runtime cost of the
+# scan is negligible on TPU (measured: the scan-based multiply is *faster*
+# than the unrolled one).  The unrolled list-based helpers above are kept
+# for the Pallas kernels and as independent implementations for tests.
+
+
+def _normalize_scan(s):
+    """(K, *b) uint32 deferred column sums -> (normalized limbs, carry).
+
+    The scan carry is derived from the input (zeros_like) rather than built
+    from constants so it inherits the input's varying-manual-axes type and
+    stays legal inside `shard_map` bodies.
+    """
+    zero = jnp.zeros_like(s[0])
+
+    def step(carry, c):
+        v = c + carry
+        return v >> LIMB_BITS, v & MASK
+
+    carry, rows = jax.lax.scan(step, zero, s)
+    return rows, carry
+
+
+def _sub_scan(a, b):
+    """Limbwise a - b with borrow scan on (K, *b) arrays -> (diff, borrow)."""
+    zero = jnp.zeros_like(a[0] + b[0])  # inherits vma of both (see above)
+
+    def step(borrow, ab):
+        ai, bi = ab
+        v = ai - bi - borrow  # uint32 wraps; bit 16 = borrow flag
+        return (v >> LIMB_BITS) & jnp.uint32(1), v & MASK
+
+    borrow, rows = jax.lax.scan(step, zero, (a, jnp.broadcast_to(b, a.shape)))
+    return rows, borrow
+
+
+def _modulus_arr(spec: FieldSpec, batch_ndim: int):
+    return _const_limbs(spec.modulus_limbs, batch_ndim)
+
+
+def _cond_sub_modulus_arr(spec: FieldSpec, rows, top_carry):
+    """Given value = top_carry*2^(16K) + rows (< 2p), reduce to [0, p)."""
+    n = _modulus_arr(spec, rows.ndim - 1)
+    d, borrow = _sub_scan(rows, n)
+    take_d = (top_carry | (jnp.uint32(1) - borrow)).astype(jnp.bool_)
+    return jnp.where(take_d[None], d, rows)
+
+
 # -----------------------------------------------------------------------------
 # Public ops
 # -----------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=0)
-def add(spec: FieldSpec, a, b):
-    """(a + b) mod p, canonical in/out."""
+def add_unrolled_impl(spec: FieldSpec, a, b):
+    """(a + b) mod p, unrolled carry chain (Pallas kernels / tests)."""
     cols = [a[i] + b[i] for i in range(spec.num_limbs)]
     rows, carry = _carry_normalize(cols)
     return _stack(_cond_sub_modulus(spec, rows, carry))
 
 
-@partial(jax.jit, static_argnums=0)
-def sub(spec: FieldSpec, a, b):
-    """(a - b) mod p, canonical in/out."""
+def add_impl(spec: FieldSpec, a, b):
+    """(a + b) mod p, canonical in/out (scan-based carry chain)."""
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    s = jnp.broadcast_to(a, a.shape[:1] + bshape) + jnp.broadcast_to(
+        b, b.shape[:1] + bshape)
+    rows, carry = _normalize_scan(s)
+    return _cond_sub_modulus_arr(spec, rows, carry)
+
+
+add = partial(jax.jit, static_argnums=0)(add_impl)
+
+
+def sub_unrolled_impl(spec: FieldSpec, a, b):
+    """(a - b) mod p, unrolled borrow chain (Pallas kernels / tests)."""
     d, borrow = _sub_limbs(_rows(a), _rows(b))
     # if borrow: add p back
     n = spec.modulus_limbs
@@ -125,14 +188,28 @@ def sub(spec: FieldSpec, a, b):
     return _stack(rows)
 
 
+def sub_impl(spec: FieldSpec, a, b):
+    """(a - b) mod p, canonical in/out (scan-based borrow chain)."""
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a_b = jnp.broadcast_to(a, a.shape[:1] + bshape)
+    d, borrow = _sub_scan(a_b, b)
+    # if borrow: add p back (one more normalize pass)
+    n = _modulus_arr(spec, len(bshape))
+    mask = borrow.astype(jnp.bool_)
+    rows, _ = _normalize_scan(d + jnp.where(mask[None], n, jnp.uint32(0)))
+    return rows
+
+
+sub = partial(jax.jit, static_argnums=0)(sub_impl)
+
+
 @partial(jax.jit, static_argnums=0)
 def neg(spec: FieldSpec, a):
     """(-a) mod p, canonical in/out (constant-time: p - a, then 0 if a==0)."""
-    n = spec.modulus_limbs
-    n_rows = [jnp.broadcast_to(jnp.uint32(int(x)), a.shape[1:]) for x in n]
-    d, _ = _sub_limbs(n_rows, _rows(a))
+    n = jnp.broadcast_to(_modulus_arr(spec, a.ndim - 1), a.shape)
+    d, _ = _sub_scan(n, a)
     z = is_zero(spec, a)
-    return _stack([jnp.where(z, jnp.uint32(0), di) for di in d])
+    return jnp.where(z[None], jnp.uint32(0), d)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -190,12 +267,14 @@ def _redc(spec: FieldSpec, t):
     return _stack(rows)
 
 
-@partial(jax.jit, static_argnums=0)
-def mont_mul(spec: FieldSpec, a, b):
-    """Montgomery product a*b*R^{-1} mod p, canonical in/out.
+def mont_mul_impl(spec: FieldSpec, a, b):
+    """Unrolled Montgomery product (schoolbook convolution + word-serial REDC).
 
-    Schoolbook limb convolution with lo/hi split and deferred carries,
-    followed by word-serial REDC with per-step carry retirement.
+    NOTE: the *default* multiply is the scan-based CIOS below — measured on
+    TPU v5e it both compiles ~300x faster AND runs ~20% faster than this
+    unrolled form (8.2ms vs 6.8ms at 2^18 Fq muls).  The unrolled variant is
+    kept for the Pallas kernels (Mosaic compiles it differently) and as an
+    independent implementation for equivalence tests.
     """
     K = spec.num_limbs
     bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
@@ -209,8 +288,10 @@ def mont_mul(spec: FieldSpec, a, b):
     return _redc(spec, _stack(rows))
 
 
-@partial(jax.jit, static_argnums=0)
-def mont_sqr(spec: FieldSpec, a):
+mont_mul_unrolled = partial(jax.jit, static_argnums=0)(mont_mul_impl)
+
+
+def mont_sqr_impl(spec: FieldSpec, a):
     """Montgomery square; exploits product symmetry (~40% fewer limb muls,
     the same trick as the reference's optimized squaring, field.cuh:586-685).
     """
@@ -230,6 +311,66 @@ def mont_sqr(spec: FieldSpec, a):
         t = t.at[2 * i + 1].add(p >> LIMB_BITS)
     rows, _ = _carry_normalize([t[j] for j in range(2 * K)])
     return _redc(spec, _stack(rows))
+
+
+mont_sqr_unrolled = partial(jax.jit, static_argnums=0)(mont_sqr_impl)
+
+
+def mont_mul_cios_impl(spec: FieldSpec, a, b):
+    """Montgomery product via word-serial CIOS under `lax.scan` — a ~20x
+    smaller traced graph than the unrolled schoolbook+REDC (mont_mul_impl).
+
+    Bit-identical result; used inside large fully-traced programs (the
+    sharded MSM monolith) where the unrolled form blows up XLA compile
+    time.  Classic CIOS: per scan step, add a_i*b and m_i*p into a
+    (K+2)-limb deferred-carry accumulator, then shift one limb down
+    (exact: limb 0 is ≡ 0 mod 2^16 by choice of m_i).
+
+    Overflow: each step adds ≤ 4*(2^16-1) to a limb; over K ≤ 24 steps the
+    deferred sums stay < 2^22, far under uint32.  `m = (acc0 * n0) & MASK`
+    is exact because uint32 wraparound preserves values mod 2^16.
+    """
+    K = spec.num_limbs
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    b_b = jnp.broadcast_to(b, (K,) + bshape)
+    a_b = jnp.broadcast_to(a, (K,) + bshape)
+    n_col = _modulus_col(spec, len(bshape))
+    n0 = jnp.uint32(spec.n0_inv)
+    # init derived from the inputs so it carries their vma type (shard_map)
+    zero_row = jnp.zeros_like(a_b[0] + b_b[0])
+    acc0 = jnp.broadcast_to(zero_row[None], (K + 2,) + bshape)
+
+    def step(acc, a_i):
+        p = a_i[None] * b_b
+        acc = acc.at[0:K].add(p & MASK)
+        acc = acc.at[1 : K + 1].add(p >> LIMB_BITS)
+        m = (acc[0] * n0) & MASK
+        q = m[None] * n_col
+        acc = acc.at[0:K].add(q & MASK)
+        acc = acc.at[1 : K + 1].add(q >> LIMB_BITS)
+        carry = acc[0] >> LIMB_BITS
+        acc = jnp.concatenate([acc[1:], jnp.zeros_like(acc[:1])])
+        acc = acc.at[0].add(carry)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc0, a_b)
+    rows, _ = _normalize_scan(acc)
+    # result < 2p: rows[K] is the single overflow bit, rows[K+1] == 0
+    return _cond_sub_modulus_arr(spec, rows[:K], rows[K])
+
+
+mont_mul_cios = partial(jax.jit, static_argnums=0)(mont_mul_cios_impl)
+
+# Default multiply/square: the scan-based CIOS (faster to compile AND run
+# on TPU; see mont_mul_impl docstring for the measurements).
+mont_mul = mont_mul_cios
+
+
+@partial(jax.jit, static_argnums=0)
+def mont_sqr(spec: FieldSpec, a):
+    """Montgomery square (CIOS a*a; the unrolled symmetric-product variant
+    is mont_sqr_unrolled — fewer limb muls but far worse XLA compile)."""
+    return mont_mul_cios_impl(spec, a, a)
 
 
 @partial(jax.jit, static_argnums=0)
