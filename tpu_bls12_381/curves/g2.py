@@ -60,5 +60,17 @@ def jacobian_to_ints(P):
     return affine_to_ints(points.jac_to_affine(F, P))
 
 
-def generator_affine():
-    return affine_from_ints([(constants.G2_GENERATOR_X, constants.G2_GENERATOR_Y)])
+def generator_affine(batch_shape=()):
+    count = int(np.prod(batch_shape)) if batch_shape else 1
+    A = affine_from_ints(
+        [(constants.G2_GENERATOR_X, constants.G2_GENERATOR_Y)] * count
+    )
+    if not batch_shape:
+        return A
+    (x0, x1), (y0, y1), inf = A
+    shape = (FQ.num_limbs,) + tuple(batch_shape)
+    return (
+        (x0.reshape(shape), x1.reshape(shape)),
+        (y0.reshape(shape), y1.reshape(shape)),
+        inf.reshape(tuple(batch_shape)),
+    )

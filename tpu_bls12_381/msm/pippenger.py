@@ -390,3 +390,224 @@ def msm_g1(scalars, A, **kw):
 
 def msm_g2(scalars, A, **kw):
     return msm(FQ2_ADAPTER, scalars, A, **kw)
+
+
+# -----------------------------------------------------------------------------
+# Chunked MSM: the same staged pipeline vmapped over a leading chunk axis.
+#
+# This is the GSPMD scale-out form: inputs carry a leading (D, ...) axis,
+# every stage is vmapped over it, and sharding that axis over a device mesh
+# makes each chunk's sort/scan/reduction device-local (all ops are batched,
+# so the partitioner never needs cross-chunk communication until the final
+# combine).  Compile cost stays per-stage — the monolithic alternative
+# (msm_traceable below) produces a ~270k-eqn graph that XLA chews on for
+# tens of minutes.
+# -----------------------------------------------------------------------------
+
+
+def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
+                scalars_montgomery: bool = True, mapper: str = "pmap"):
+    """MSM over chunked inputs; returns per-chunk Jacobian points (D leading).
+
+    scalars_c: (D, 16, nloc) uint32; A_c leaves (D, K, nloc) / inf (D, nloc).
+    Result: Jacobian point with leaves (D, K) — one partial MSM per chunk;
+    group-add them for the total (parallel/msm.py::_combine_chunks).
+
+    mapper:
+      "pmap" — one chunk per local device, stages compiled once as plain
+               single-device programs and replicated (no GSPMD partitioner
+               involvement; the multi-chip production path).
+      "vmap" — chunk axis as an ordinary batch on one device (testing, or
+               sharded via jit-with-shardings where GSPMD cost is fine).
+    """
+    x, y, inf = A_c
+    D, nloc = inf.shape[0], inf.shape[-1]
+    w = window_bits or window_bits_for(nloc)
+    nb = 1 << (w - 1)
+    L = 1 << int(np.clip(round(np.log2(max(nloc, 4)) / 2), 3, 11))
+    R = -(-nloc // L)
+    lb_bits = min(128, nb).bit_length() - 1
+    T = num_windows(w)
+    sent_v = nb + 1
+
+    if mapper == "pmap":
+        mapf = jax.pmap
+    else:
+        mapf = partial(jax.vmap, in_axes=0)
+
+    def prelude(sc_c, yy):
+        """Per-chunk: scalar form conversion + digit split + negated y."""
+        sc = sc_c  # (16, nloc) limbs-first within the chunk
+        if scalars_montgomery:
+            sc = ops.from_mont(FR, sc)
+        abs_d, signs = decompose_signed_digits(sc, w)  # (T, nloc)
+        return abs_d, signs, _stage_neg_y(F, yy)
+
+    prelude_m = mapf(prelude)
+    sort_tile = mapf(lambda k, xx, yy, yn, sg, ii: _stage_sort_tile(
+        F, k, R, L, xx, yy, yn, sg, ii))
+    scan_s = mapf(lambda xr, yr, ir: _stage_scan(F, xr, yr, ir))
+    stitch = mapf(lambda ct: _stage_stitch(F, ct))
+    boundary = mapf(lambda ks, cc, pr: _stage_boundary(F, ks, cc, nb, pr))
+    tri = mapf(lambda b: _stage_triangle_scans(F, b, nb))
+    comb = mapf(lambda wr, wc, tt: _stage_triangle_combine(F, wr, wc, tt, lb_bits))
+    horner = mapf(lambda ws: _stage_horner(F, ws, w))
+
+    abs_d, signs, yneg = prelude_m(scalars_c, y)  # (D, T, nloc) digits
+    window_sums = []
+    for t in range(T):
+        digit = abs_d[:, t]  # (D, nloc)
+        key = jnp.where(digit == 0, jnp.uint32(sent_v), digit)
+        key_sorted, x_rows, y_rows, inf_rows = sort_tile(
+            key, x, y, yneg, signs[:, t], inf)
+        col_total, prefix_rows = scan_s(x_rows, y_rows, inf_rows)
+        col_carry = stitch(col_total)
+        buckets = boundary(key_sorted, col_carry, prefix_rows)
+        w_rows, w_cols, total = tri(buckets)
+        window_sums.append(comb(w_rows, w_cols, total))
+    # (D, T, K..) so the mapped axis stays leading for pmap
+    Ws = tree_map(lambda *cs: jnp.stack(cs, axis=1), *window_sums)
+    return horner(Ws)  # leaves (D, K..)
+
+
+# -----------------------------------------------------------------------------
+# Fully-traceable single-call MSM (experimental).
+#
+# The whole MSM inside one traced function: the window loop becomes a
+# `lax.scan` over the stacked digit arrays (one traced window body).  Even
+# with the compact CIOS multiplies this is a ~270k-eqn graph that today's
+# XLA takes pathologically long to compile on CPU; the production sharded
+# path uses msm_chunked instead.  Kept for TPU-side experimentation.
+# -----------------------------------------------------------------------------
+
+
+def msm_traceable(F, scalars, A, *, window_bits: int | None = None,
+                  scalars_montgomery: bool = True):
+    """Same contract as :func:`msm`, but one traced graph (jit/shard_map safe).
+
+    All shape-determining quantities (window size, tile dims) derive from
+    static array shapes, so this is safe to close over inside `jit`,
+    `shard_map`, or `vmap`.
+    """
+    x, y, inf = A
+    n = inf.shape[-1]
+    if scalars_montgomery:
+        scalars = ops.from_mont(FR, scalars)
+    w = window_bits or window_bits_for(n)
+    nb = 1 << (w - 1)
+    L = 1 << int(np.clip(round(np.log2(max(n, 4)) / 2), 3, 11))
+    R = -(-n // L)
+    lb_bits = min(128, nb).bit_length() - 1
+
+    abs_d, signs = decompose_signed_digits(scalars, w)  # (T, N)
+    sent = jnp.uint32(nb + 1)
+    yneg = F.neg(y)
+
+    def window(_, ds):
+        digit, sign = ds
+        key = jnp.where(digit == 0, sent, digit)
+        key_sorted, x_rows, y_rows, inf_rows = _stage_sort_tile(
+            F, key, R, L, x, y, yneg, sign, inf
+        )
+        col_total, prefix_rows = _stage_scan(F, x_rows, y_rows, inf_rows)
+        col_carry = _stage_stitch(F, col_total)
+        buckets = _stage_boundary(F, key_sorted, col_carry, nb, prefix_rows)
+        w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
+        Wt = _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
+        return 0, Wt
+
+    _, Ws = jax.lax.scan(window, 0, (abs_d, signs))
+    return _stage_horner(F, Ws, w)
+
+
+# -----------------------------------------------------------------------------
+# Precomputed-multiples MSM (reference: precompute_bases, core/msm.rs:401-469 /
+# msm_precompute_bases_cuda_impl).  With factor f, the base array is expanded
+# to [P, 2^(w*T')P, ..., 2^(w*T'(f-1))P] so the window loop shrinks from T to
+# T' = ceil(T/f) windows over f*N points — on TPU this converts sequential
+# window iterations into lane parallelism, the same memory-for-time trade the
+# reference documents (~10-30% on GPU, core/msm.rs:370-373).
+# -----------------------------------------------------------------------------
+
+
+def num_windows(w: int) -> int:
+    return -(-FR_BITS // w) + 1
+
+
+def precompute_window_span(w: int, factor: int) -> int:
+    """T' — windows per precomputed multiple (shift = w*T' bits)."""
+    return -(-num_windows(w) // factor)
+
+
+def expand_bases(F, A, w: int, factor: int):
+    """Affine bases (x, y, inf) of n points -> expanded (factor*n) points.
+
+    Block j holds 2^(w*T'*j) * P_i (computed by batched doublings on
+    device).  Returns the expanded affine batch; run once at setup time.
+    """
+    if factor <= 1:
+        return A
+    span = precompute_window_span(w, factor) * w
+    blocks = [A]
+    cur = pt.affine_to_jac(F, A)
+    for _ in range(factor - 1):
+        cur = _double_n(F, cur, span)
+        blocks.append(pt.jac_to_affine(F, cur))
+    xs = tree_map(lambda *cs: jnp.concatenate(cs, axis=-1), *[b[0] for b in blocks])
+    ys = tree_map(lambda *cs: jnp.concatenate(cs, axis=-1), *[b[1] for b in blocks])
+    infs = jnp.concatenate([b[2] for b in blocks], axis=-1)
+    return (xs, ys, infs)
+
+
+def _digits_for_precompute(scalars_std, w: int, factor: int):
+    """(T, N) digit arrays regrouped to (T', factor*N) matching expand_bases."""
+    abs_d, signs = decompose_signed_digits(scalars_std, w)
+    T, n = abs_d.shape[0], abs_d.shape[-1]
+    Tp = precompute_window_span(w, factor)
+    pad = Tp * factor - T
+    if pad:
+        abs_d = jnp.concatenate([abs_d, jnp.zeros((pad, n), abs_d.dtype)])
+        signs = jnp.concatenate([signs, jnp.zeros((pad, n), signs.dtype)])
+    # window t = j*T' + t'  ->  digit block j feeds base block j
+    abs_d = abs_d.reshape(factor, Tp, n).swapaxes(0, 1).reshape(Tp, factor * n)
+    signs = signs.reshape(factor, Tp, n).swapaxes(0, 1).reshape(Tp, factor * n)
+    return abs_d, signs
+
+
+def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
+                    scalars_montgomery: bool = True):
+    """MSM against bases expanded by :func:`expand_bases` (same w/factor)."""
+    if factor <= 1:
+        return msm(F, scalars, A_expanded,
+                   window_bits=window_bits,
+                   scalars_montgomery=scalars_montgomery)
+    x, y, inf = A_expanded
+    n_eff = inf.shape[-1]
+    if scalars_montgomery:
+        scalars = ops.from_mont(FR, scalars)
+    w = window_bits
+    nb = 1 << (w - 1)
+    L = 1 << int(np.clip(round(np.log2(max(n_eff, 4)) / 2), 3, 11))
+    R = -(-n_eff // L)
+    lb_bits = min(128, nb).bit_length() - 1
+
+    abs_d, signs = _digits_for_precompute(scalars, w, factor)
+    sent = jnp.uint32(nb + 1)
+    yneg = _stage_neg_y(F, y)
+
+    window_sums = []
+    for t in range(abs_d.shape[0]):
+        digit = abs_d[t]
+        key = jnp.where(digit == 0, sent, digit)
+        key_sorted, x_rows, y_rows, inf_rows = _stage_sort_tile(
+            F, key, R, L, x, y, yneg, signs[t], inf
+        )
+        col_total, prefix_rows = _stage_scan(F, x_rows, y_rows, inf_rows)
+        col_carry = _stage_stitch(F, col_total)
+        buckets = _stage_boundary(F, key_sorted, col_carry, nb, prefix_rows)
+        w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
+        window_sums.append(
+            _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
+        )
+    Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
+    return _stage_horner(F, Ws, w)

@@ -1,0 +1,171 @@
+"""MSM context: device-resident cached bases, precompute, batch, async.
+
+TPU analog of ``GpuMsmContext`` (core/msm.rs:133-136) and
+``PrecomputedBases`` (core/msm.rs:174-262): bases are uploaded once
+(optionally expanded by a precompute factor and/or sharded over a mesh)
+and reused across many MSMs — the PLONK prover's SRS hot path
+(msm_with_device_bases, core/msm.rs:594).  Async variants return
+:class:`AsyncHandle`s (core/msm.rs:715, :1439-1640 analogs); batch
+variants run many scalar sets against shared bases
+(core/msm.rs:1179-1295 analog), dispatched back-to-back so JAX's async
+dispatch pipelines them like the reference's dedicated CUDA stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..curves import points as pt
+from ..curves.field_adapters import FQ_ADAPTER, FQ2_ADAPTER
+from ..msm import pippenger
+from .config import config
+from .handles import AsyncHandle
+from .tracing import span
+
+tree_map = jax.tree_util.tree_map
+
+
+@dataclass
+class PrecomputedBases:
+    """Device-resident (possibly expanded) affine bases + their metadata.
+
+    Mirrors the reference's invariant that precompute metadata must travel
+    with the buffer (window size and factor are baked into the expansion;
+    using different ones at MSM time would silently corrupt results —
+    cf. core/msm.rs:641-643's Montgomery-form bookkeeping).
+    """
+
+    A: Any  # affine batch (x, y, inf), factor*n points
+    n: int
+    factor: int
+    window_bits: int
+
+    @property
+    def is_precomputed(self) -> bool:
+        return self.factor > 1
+
+
+class MsmContext:
+    """MSM orchestration for one curve (G1 or G2)."""
+
+    def __init__(self, adapter, name: str = "g1"):
+        self.F = adapter
+        self.name = name
+
+    # --- base management (upload_g1_bases / precompute_bases analogs) -----
+
+    def upload_bases(self, A, *, precompute_factor: int | None = None,
+                     window_bits: int | None = None) -> PrecomputedBases:
+        """Place bases on device, optionally expanded by a precompute factor."""
+        n = A[2].shape[-1]
+        factor = (config().precompute_factor
+                  if precompute_factor is None else precompute_factor)
+        w = window_bits or config().msm_window or pippenger.window_bits_for(
+            n * max(factor, 1))
+        with span("msm", f"{self.name}.precompute_bases[f={factor}]"):
+            A_dev = tree_map(jnp.asarray, A)
+            A_exp = pippenger.expand_bases(self.F, A_dev, w, factor)
+            jax.block_until_ready(A_exp)
+        return PrecomputedBases(A=A_exp, n=n, factor=factor, window_bits=w)
+
+    # --- sync MSM ----------------------------------------------------------
+
+    def msm(self, scalars, A, *, window_bits: int | None = None,
+            scalars_montgomery: bool = True):
+        """One MSM against ad-hoc bases; returns a Jacobian point (blocking)."""
+        with span("msm", f"{self.name}.msm[n={A[2].shape[-1]}]"):
+            out = pippenger.msm(
+                self.F, scalars, A,
+                window_bits=window_bits or config().msm_window,
+                scalars_montgomery=scalars_montgomery,
+            )
+            jax.block_until_ready(out)
+        return out
+
+    def msm_with_bases(self, scalars, bases: PrecomputedBases, *,
+                       scalars_montgomery: bool = True):
+        """MSM against cached (possibly precomputed) bases (blocking)."""
+        handle = self.msm_with_bases_async(
+            scalars, bases, scalars_montgomery=scalars_montgomery)
+        return handle.wait()
+
+    # --- async MSM (msm_async / MsmHandle analogs) ---------------------------
+
+    def msm_async(self, scalars, A, *, window_bits: int | None = None,
+                  scalars_montgomery: bool = True) -> AsyncHandle:
+        out = pippenger.msm(
+            self.F, scalars, A,
+            window_bits=window_bits or config().msm_window,
+            scalars_montgomery=scalars_montgomery,
+        )
+        return AsyncHandle(out)
+
+    def msm_with_bases_async(self, scalars, bases: PrecomputedBases, *,
+                             scalars_montgomery: bool = True) -> AsyncHandle:
+        out = pippenger.msm_precomputed(
+            self.F, scalars, bases.A,
+            window_bits=bases.window_bits, factor=bases.factor,
+            scalars_montgomery=scalars_montgomery,
+        )
+        return AsyncHandle(out)
+
+    # --- batch MSM (shared bases, core/msm.rs:1179-1295 analog) -------------
+
+    def msm_batch(self, scalars_list: Sequence, bases: PrecomputedBases, *,
+                  scalars_montgomery: bool = True):
+        return self.msm_batch_async(
+            scalars_list, bases, scalars_montgomery=scalars_montgomery).wait()
+
+    def msm_batch_async(self, scalars_list: Sequence,
+                        bases: PrecomputedBases, *,
+                        scalars_montgomery: bool = True) -> AsyncHandle:
+        """Many MSMs sharing one base set; one handle for all results.
+
+        Dispatched back-to-back without host syncs — JAX queues the whole
+        pipeline on device, which is the TPU equivalent of the reference's
+        single batched kernel launch on a dedicated stream.
+        """
+        for s in scalars_list:
+            if s.shape[-1] != bases.n:
+                raise ValueError(
+                    f"batch MSM scalar count {s.shape[-1]} != base count {bases.n}")
+        outs = [
+            pippenger.msm_precomputed(
+                self.F, s, bases.A,
+                window_bits=bases.window_bits, factor=bases.factor,
+                scalars_montgomery=scalars_montgomery,
+            )
+            for s in scalars_list
+        ]
+        return AsyncHandle(outs)
+
+    # --- misc ---------------------------------------------------------------
+
+    def warmup(self, n: int = 256) -> None:
+        """Compile-warm the MSM stages with a tiny problem (core/msm.rs:931)."""
+        from ..curves import g1 as g1mod
+
+        if self.name == "g1":
+            A = g1mod.generator_affine((n,))
+        else:
+            from ..curves import g2 as g2mod
+
+            A = g2mod.generator_affine((n,))
+        scalars = jnp.zeros((16, n), dtype=jnp.uint32).at[0].set(1)
+        out = pippenger.msm(self.F, scalars, A, scalars_montgomery=False)
+        jax.block_until_ready(out)
+
+    def to_affine(self, P):
+        return pt.jac_to_affine(self.F, P)
+
+
+def g1_context() -> MsmContext:
+    return MsmContext(FQ_ADAPTER, "g1")
+
+
+def g2_context() -> MsmContext:
+    return MsmContext(FQ2_ADAPTER, "g2")
