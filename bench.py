@@ -1,0 +1,122 @@
+"""Headline benchmark: G1 Pippenger MSM throughput on the current device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no absolute numbers (BASELINE.md — `published: {}`),
+only crossover thresholds and harnesses (benches/gpu_msm.rs), so
+``vs_baseline`` is reported relative to this library's own recorded prior
+round (BENCH_BASELINE env or 1.0 on first measurement).
+
+Config via env:
+  BENCH_LOG_N   log2(#points), default 20 (the BASELINE.json headline size)
+  BENCH_REPS    timed repetitions, default 3
+  BENCH_METRIC  "msm" (default) or "ntt" (NTT 2^22 wall-clock companion run)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_bls12_381_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from tpu_bls12_381 import constants
+from tpu_bls12_381.fields import FR, FQ, ops
+from tpu_bls12_381.fields.limbs import ints_to_limbs
+from tpu_bls12_381.curves import g1
+from tpu_bls12_381.curves.field_adapters import FQ_ADAPTER
+from tpu_bls12_381.msm import msm_g1
+
+
+def _random_g1_batch(n: int, seed: int = 7):
+    """n pseudo-random affine G1 points: k_i * G for small random k_i.
+
+    Built on device: scatter the generator into lanes and apply per-lane
+    double-and-add with tiny (16-bit) scalars — fast enough at bench setup.
+    """
+    from tpu_bls12_381.curves import points as pt
+
+    rng = np.random.default_rng(seed)
+    ks = rng.integers(1, 1 << 16, size=n, dtype=np.uint64)
+    A = g1.generator_affine((n,))
+    sc = np.zeros((FR.num_limbs, n), dtype=np.uint32)
+    sc[0] = ks & 0xFFFF
+    P = pt.scalar_mul(FQ_ADAPTER, jnp.asarray(sc), A, num_bits=16)
+    return pt.jac_to_affine(FQ_ADAPTER, P)
+
+
+def bench_msm(log_n: int, reps: int):
+    n = 1 << log_n
+    rng = np.random.default_rng(3)
+    scalars_int = [int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
+                   % constants.FR_MODULUS for _ in range(n)]
+    scalars = jnp.asarray(ints_to_limbs([FR.to_mont(s) for s in scalars_int],
+                                        FR.num_limbs))
+    A = _random_g1_batch(n)
+    jax.block_until_ready(A)
+
+    # warmup: compile all stages + build any cached tables
+    out = msm_g1(scalars, A)
+    jax.block_until_ready(out)
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = msm_g1(scalars, A)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return n / best, best
+
+
+def bench_ntt(log_n: int, reps: int):
+    from tpu_bls12_381.ntt import ntt, get_domain
+
+    n = 1 << log_n
+    dom = get_domain(log_n)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        rng.integers(0, 1 << 16, size=(FR.num_limbs, n), dtype=np.uint64)
+    ).astype(jnp.uint32)
+    out = ntt(x, domain=dom)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = ntt(x, domain=dom)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return n / best, best
+
+
+def main():
+    which = os.environ.get("BENCH_METRIC", "msm")
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    if which == "ntt":
+        log_n = int(os.environ.get("BENCH_LOG_N", "22"))
+        rate, secs = bench_ntt(log_n, reps)
+        metric = f"ntt_fr_2e{log_n}_elems_per_s"
+    else:
+        log_n = int(os.environ.get("BENCH_LOG_N", "20"))
+        rate, secs = bench_msm(log_n, reps)
+        metric = f"g1_msm_2e{log_n}_points_per_s"
+    baseline = float(os.environ.get("BENCH_BASELINE", "0") or 0)
+    vs = rate / baseline if baseline > 0 else 1.0
+    print(json.dumps({
+        "metric": metric,
+        "value": round(rate, 2),
+        "unit": "points/s" if which == "msm" else "elems/s",
+        "vs_baseline": round(vs, 4),
+    }))
+    print(f"# wall={secs:.4f}s device={jax.devices()[0].platform}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

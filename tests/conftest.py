@@ -8,12 +8,11 @@ sharding paths.  Benchmarks (bench.py) run on the real TPU.
 
 import os
 
-# Force the CPU platform (virtual 8-device mesh).  NOTE: this box has one
-# CPU core and XLA compilation is routed through the environment's
-# remote-compile service (sitecustomize + PALLAS_AXON_REMOTE_COMPILE) — that
-# service is the *fast* compile path here; graphs are kept stage-sized so
-# each compile stays in the seconds range and hits the persistent cache.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force the CPU platform (virtual 8-device mesh).  NOTE: the environment's
+# sitecustomize imports jax at interpreter start (axon PJRT plugin), so
+# JAX_PLATFORMS in os.environ is captured before conftest runs — the
+# platform must be overridden via jax.config, and the host-device-count
+# XLA flag mutated before the first backend initialization.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -26,6 +25,8 @@ import numpy as np
 import pytest
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite compiles many small integer
 # programs; caching makes re-runs fast.

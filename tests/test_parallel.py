@@ -1,0 +1,135 @@
+"""Sharded (multi-chip) MSM and NTT vs the single-device implementations.
+
+Runs on the 8-virtual-device CPU mesh from conftest.py — the same code
+path the driver's dryrun_multichip exercises and the TPU pod would run.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_bls12_381 import constants
+from tpu_bls12_381.fields import FR, ops
+from tpu_bls12_381.fields.limbs import ints_to_limbs, limbs_to_ints
+from tpu_bls12_381.curves import g1, points as pt
+from tpu_bls12_381.curves.field_adapters import FQ_ADAPTER
+from tpu_bls12_381.msm import msm_g1
+from tpu_bls12_381.ntt import ntt, intt
+from tpu_bls12_381.parallel import (
+    default_mesh,
+    msm_g1_sharded,
+    ntt_sharded,
+    intt_sharded,
+)
+from tpu_bls12_381.parallel.msm import shard_msm_inputs
+
+
+def _mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    return default_mesh()
+
+
+def _rand_fr_mont(rng, n):
+    vals = [rng.randrange(constants.FR_MODULUS) for _ in range(n)]
+    return jnp.asarray(ints_to_limbs([FR.to_mont(v) for v in vals], FR.num_limbs))
+
+
+def _gen_points(rng, n):
+    """n distinct small multiples of the generator (host-side oracle)."""
+    from tpu_bls12_381 import oracle
+
+    ks = [rng.randrange(1, 1 << 20) for _ in range(n)]
+    G = oracle.g1_generator()
+    pts = [
+        oracle.jac_to_affine(oracle.scalar_mul(k, G, oracle.FQ_OPS), oracle.FQ_OPS)
+        for k in ks
+    ]
+    return g1.affine_from_ints(pts), ks
+
+
+class TestShardedNtt:
+    def test_forward_matches_single_device(self, rng):
+        mesh = _mesh()
+        n = 1 << 10
+        x = _rand_fr_mont(rng, n)
+        want = ntt(x)
+        got = ntt_sharded(x, mesh)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_transposed_roundtrip_and_layout(self, rng):
+        mesh = _mesh()
+        n = 1 << 10
+        x = _rand_fr_mont(rng, n)
+        evals_t = ntt_sharded(x, mesh, transposed_out=True)
+        back = intt_sharded(evals_t, mesh, transposed_in=True)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+        # transposed layout is the documented permutation of the natural one
+        from tpu_bls12_381.parallel.ntt import split_sizes
+
+        nA, nB = split_sizes(10, mesh.devices.size)
+        nat = np.asarray(ntt(x)).reshape(FR.num_limbs, nA, nB)
+        got = np.asarray(evals_t).reshape(FR.num_limbs, nB, nA)
+        np.testing.assert_array_equal(got, nat.swapaxes(1, 2))
+
+    def test_inverse_natural(self, rng):
+        mesh = _mesh()
+        n = 1 << 9
+        x = _rand_fr_mont(rng, n)
+        got = intt_sharded(ntt_sharded(x, mesh), mesh)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(x))
+
+    def test_convolution_pipeline(self, rng):
+        """polymul via sharded forward-T + pointwise + inverse-from-T."""
+        mesh = _mesh()
+        n = 1 << 9
+        deg = n // 2 - 1
+        a = [rng.randrange(constants.FR_MODULUS) for _ in range(deg + 1)]
+        b = [rng.randrange(constants.FR_MODULUS) for _ in range(deg + 1)]
+        av = jnp.asarray(ints_to_limbs(
+            [FR.to_mont(v) for v in a] + [0] * (n - deg - 1), FR.num_limbs))
+        bv = jnp.asarray(ints_to_limbs(
+            [FR.to_mont(v) for v in b] + [0] * (n - deg - 1), FR.num_limbs))
+        ea = ntt_sharded(av, mesh, transposed_out=True)
+        eb = ntt_sharded(bv, mesh, transposed_out=True)
+        prod = intt_sharded(ops.mont_mul(FR, ea, eb), mesh, transposed_in=True)
+        got = limbs_to_ints(np.asarray(ops.from_mont(FR, prod)))
+        want = [0] * n
+        for i, ai in enumerate(a):
+            for j, bj in enumerate(b):
+                want[(i + j) % n] = (want[(i + j) % n] + ai * bj) % constants.FR_MODULUS
+        assert got == want
+
+
+class TestShardedMsm:
+    def test_matches_single_device(self, rng):
+        mesh = _mesh()
+        n = 256
+        scalars = _rand_fr_mont(rng, n)
+        A, _ = _gen_points(rng, n)
+        sc_sh, A_sh = shard_msm_inputs(scalars, A, mesh)
+        got = msm_g1_sharded(sc_sh, A_sh, mesh)
+        want = msm_g1(scalars, A)
+        assert bool(np.asarray(pt.jac_eq(FQ_ADAPTER, got, want)))
+
+    def test_matches_oracle(self, rng):
+        from tpu_bls12_381 import oracle
+
+        mesh = _mesh()
+        n = 64
+        vals = [rng.randrange(constants.FR_MODULUS) for _ in range(n)]
+        scalars = jnp.asarray(
+            ints_to_limbs([FR.to_mont(v) for v in vals], FR.num_limbs))
+        A, ks = _gen_points(rng, n)
+        sc_sh, A_sh = shard_msm_inputs(scalars, A, mesh)
+        got = msm_g1_sharded(sc_sh, A_sh, mesh)
+        want_k = sum(v * k for v, k in zip(vals, ks)) % constants.FR_MODULUS
+        want = oracle.jac_to_affine(
+            oracle.scalar_mul(want_k, oracle.g1_generator(), oracle.FQ_OPS),
+            oracle.FQ_OPS,
+        )
+        got_pts = g1.jacobian_to_ints(
+            jax.tree_util.tree_map(lambda c: c[..., None], got))
+        assert got_pts[0] == want
