@@ -37,20 +37,25 @@ from tpu_bls12_381.msm import msm_g1
 
 
 def _random_g1_batch(n: int, seed: int = 7):
-    """n pseudo-random affine G1 points: k_i * G for small random k_i.
-
-    Built on device: scatter the generator into lanes and apply per-lane
-    double-and-add with tiny (16-bit) scalars — fast enough at bench setup.
-    """
+    """n affine G1 points: a 4096-point batch of distinct small multiples
+    of G, tiled to length n (device-cheap setup; MSM throughput does not
+    depend on point values, and duplicate points exercise the same-point
+    group-law path anyway)."""
     from tpu_bls12_381.curves import points as pt
 
+    m = min(n, 4096)
     rng = np.random.default_rng(seed)
-    ks = rng.integers(1, 1 << 16, size=n, dtype=np.uint64)
-    A = g1.generator_affine((n,))
-    sc = np.zeros((FR.num_limbs, n), dtype=np.uint32)
+    ks = rng.integers(1, 1 << 16, size=m, dtype=np.uint64)
+    A = g1.generator_affine((m,))
+    sc = np.zeros((FR.num_limbs, m), dtype=np.uint32)
     sc[0] = ks & 0xFFFF
     P = pt.scalar_mul(FQ_ADAPTER, jnp.asarray(sc), A, num_bits=16)
-    return pt.jac_to_affine(FQ_ADAPTER, P)
+    Am = pt.jac_to_affine(FQ_ADAPTER, P)
+    if m == n:
+        return Am
+    reps = -(-n // m)
+    tile = lambda c: jnp.tile(c, (1, reps))[:, :n]
+    return (tile(Am[0]), tile(Am[1]), jnp.tile(Am[2], (reps,))[:n])
 
 
 def bench_msm(log_n: int, reps: int):

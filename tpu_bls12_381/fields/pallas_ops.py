@@ -2,41 +2,128 @@
 
 The pure-jnp ops in ``ops.py`` are correct and fully fused only at XLA's
 discretion; these kernels pin the whole limb pipeline (multiply ->
-deferred-carry accumulate -> REDC -> conditional subtract, ~150 vector
-ops per element) into VMEM so no intermediate ever round-trips HBM.
-Block shape: the natural (K, BN) limbs-first tile — K (16/24) rides the
-sublane dimension, BN lanes (multiple of 128) ride the vector lanes; one
-grid step processes BN field elements.
+deferred-carry accumulate -> REDC -> conditional subtract) into VMEM so
+no intermediate ever round-trips HBM.  Block shape: the natural (K, BN)
+limbs-first tile — K (16/24) rides the sublane dimension, BN lanes
+(multiple of 128) ride the vector lanes; one grid step processes BN
+field elements.
 
-Bit-exactness: kernels call the *same* traced limb algorithm
-(ops.mont_mul_impl etc.), so Pallas-vs-jnp equality is structural, and
-tests assert it anyway.  On non-TPU backends the kernels run in Pallas
-interpret mode (slow, for CI parity).
+Pallas kernels may not close over traced constants, so the field
+constants (modulus column, Montgomery factor n0) are explicit kernel
+inputs, broadcast once per call.  The limb algorithms are the same
+unrolled schoolbook+REDC as ops.mont_mul_unrolled (self-contained here
+with the constants as refs); tests assert bit-exactness against the
+jnp ops.  On non-TPU backends the kernels run in Pallas interpret mode
+(slow, for CI parity).
 
 Reference analog: these play the role of field.cuh's device functions
 (CIOS multiply field.cuh:509-576) as *standalone* bulk kernels — the
-vecops entry points (vec_ops.cu:63-150).  Group-law composites (MSM/NTT
-inner loops) still go through XLA, which fuses them with their
-neighbors; the kernels here are for the pure elementwise layer.
+vecops entry points (vec_ops.cu:63-150).
 """
 
 from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import ops
 from .field import FieldSpec
+from .limbs import LIMB_BITS, LIMB_MASK
 
-LANE_BLOCK = 512  # elements per grid step; K*BN*4B*3 buffers ~ 150 KB VMEM
+LANE_BLOCK = 512  # elements per grid step; K*BN*4B*~5 buffers well under VMEM
+MASK = LIMB_MASK  # python int: pallas kernels may not capture traced constants
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+# -----------------------------------------------------------------------------
+# Kernel-level limb arithmetic (constants passed in, everything unrolled).
+# -----------------------------------------------------------------------------
+
+
+def _k_carry_normalize(cols):
+    out = []
+    carry = jnp.zeros_like(cols[0])
+    for c in cols:
+        v = c + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return out, carry
+
+
+def _k_sub_rows(a_rows, b_rows):
+    out = []
+    borrow = jnp.zeros_like(a_rows[0])
+    for ai, bi in zip(a_rows, b_rows):
+        v = ai - bi - borrow
+        out.append(v & MASK)
+        borrow = (v >> LIMB_BITS) & 1
+    return out, borrow
+
+
+def _k_cond_sub_modulus(rows, top_carry, n_rows):
+    d, borrow = _k_sub_rows(rows, n_rows)
+    take_d = (top_carry | (1 - borrow)).astype(jnp.bool_)
+    return [jnp.where(take_d, di, ri) for di, ri in zip(d, rows)]
+
+
+def _k_mont_mul(K, a_rows, b_rows, n_rows, n0):
+    """Unrolled schoolbook + word-serial REDC on per-limb row values."""
+    t = [jnp.zeros_like(a_rows[0]) for _ in range(2 * K + 1)]
+    for i in range(K):
+        for j in range(K):
+            p = a_rows[i] * b_rows[j]
+            t[i + j] = t[i + j] + (p & MASK)
+            t[i + j + 1] = t[i + j + 1] + (p >> LIMB_BITS)
+    t, _ = _k_carry_normalize(t)
+    for i in range(K):
+        m = (t[i] * n0) & MASK
+        for j in range(K):
+            p = m * n_rows[j]
+            t[i + j] = t[i + j] + (p & MASK)
+            t[i + j + 1] = t[i + j + 1] + (p >> LIMB_BITS)
+        t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+    rows, carry = _k_carry_normalize(t[K : 2 * K])
+    carry = carry + t[2 * K]
+    return _k_cond_sub_modulus(rows, carry, n_rows)
+
+
+def _k_add(rows_a, rows_b, n_rows):
+    cols = [ai + bi for ai, bi in zip(rows_a, rows_b)]
+    rows, carry = _k_carry_normalize(cols)
+    return _k_cond_sub_modulus(rows, carry, n_rows)
+
+
+def _k_sub(rows_a, rows_b, n_rows):
+    d, borrow = _k_sub_rows(rows_a, rows_b)
+    mask = borrow.astype(jnp.bool_)
+    cols = [di + jnp.where(mask, ni, 0) for di, ni in zip(d, n_rows)]
+    rows, _ = _k_carry_normalize(cols)
+    return rows
+
+
+def _rows_of(ref, K):
+    return [ref[i, :] for i in range(K)]
+
+
+# -----------------------------------------------------------------------------
+# pallas_call plumbing
+# -----------------------------------------------------------------------------
+
+
+def _consts(spec: FieldSpec):
+    """Modulus rows (K, LANE_BLOCK) + n0 (1, 1) as kernel inputs."""
+    n = np.broadcast_to(
+        spec.modulus_limbs.astype(np.uint32)[:, None], (spec.num_limbs, LANE_BLOCK)
+    )
+    return jnp.asarray(np.ascontiguousarray(n)), jnp.full((1, 1), spec.n0_inv,
+                                                          dtype=jnp.uint32)
 
 
 def _blockify(spec: FieldSpec, arrays):
@@ -55,66 +142,85 @@ def _unblockify(spec: FieldSpec, out, n, batch_shape):
     return out[:, :n].reshape((spec.num_limbs,) + batch_shape)
 
 
-def _binary_kernel(spec: FieldSpec, impl):
-    def kernel(a_ref, b_ref, o_ref):
-        o_ref[:, :] = impl(spec, a_ref[:, :], b_ref[:, :])
+def _specs(K: int, n_in: int):
+    """Block specs: n_in data blocks + modulus block + n0 scalar."""
+    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    nblk = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    n0blk = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return [data] * n_in + [nblk, n0blk], data
 
-    return kernel
 
-
-def _call_binary(spec: FieldSpec, impl, a, b):
-    (af, bf), n, batch_shape = _blockify(spec, (a, b))
+def _run(spec: FieldSpec, kernel, arrays, n_out: int = 1):
+    flats, n, batch_shape = _blockify(spec, arrays)
     K = spec.num_limbs
-    grid = af.shape[-1] // LANE_BLOCK
-    blk = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
-                       memory_space=pltpu.VMEM)
+    grid = flats[0].shape[-1] // LANE_BLOCK
+    in_specs, data = _specs(K, len(flats))
+    ncol, n0 = _consts(spec)
+    shape = jax.ShapeDtypeStruct(flats[0].shape, jnp.uint32)
     out = pl.pallas_call(
-        _binary_kernel(spec, impl),
-        out_shape=jax.ShapeDtypeStruct(af.shape, jnp.uint32),
+        kernel,
+        out_shape=shape if n_out == 1 else (shape,) * n_out,
         grid=(grid,),
-        in_specs=[blk, blk],
-        out_specs=blk,
+        in_specs=in_specs,
+        out_specs=data if n_out == 1 else (data,) * n_out,
         interpret=_interpret(),
-    )(af, bf)
-    return _unblockify(spec, out, n, batch_shape)
+    )(*flats, ncol, n0)
+    if n_out == 1:
+        return _unblockify(spec, out, n, batch_shape)
+    return tuple(_unblockify(spec, o, n, batch_shape) for o in out)
 
 
 @partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a, b):
     """Pallas Montgomery product; same contract as ops.mont_mul."""
-    return _call_binary(spec, ops.mont_mul_impl, a, b)
+    K = spec.num_limbs
 
+    def kernel(a_ref, b_ref, n_ref, n0_ref, o_ref):
+        rows = _k_mont_mul(K, _rows_of(a_ref, K), _rows_of(b_ref, K),
+                           _rows_of(n_ref, K), n0_ref[0, 0])
+        for i in range(K):
+            o_ref[i, :] = rows[i]
 
-@partial(jax.jit, static_argnums=0)
-def add(spec: FieldSpec, a, b):
-    return _call_binary(spec, ops.add_unrolled_impl, a, b)
-
-
-@partial(jax.jit, static_argnums=0)
-def sub(spec: FieldSpec, a, b):
-    return _call_binary(spec, ops.sub_unrolled_impl, a, b)
+    return _run(spec, kernel, (a, b))
 
 
 @partial(jax.jit, static_argnums=0)
 def mont_sqr(spec: FieldSpec, a):
-    (af,), n, batch_shape = _blockify(spec, (a,))
     K = spec.num_limbs
-    grid = af.shape[-1] // LANE_BLOCK
-    blk = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
-                       memory_space=pltpu.VMEM)
 
-    def kernel(a_ref, o_ref):
-        o_ref[:, :] = ops.mont_sqr_impl(spec, a_ref[:, :])
+    def kernel(a_ref, n_ref, n0_ref, o_ref):
+        ar = _rows_of(a_ref, K)
+        rows = _k_mont_mul(K, ar, ar, _rows_of(n_ref, K), n0_ref[0, 0])
+        for i in range(K):
+            o_ref[i, :] = rows[i]
 
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(af.shape, jnp.uint32),
-        grid=(grid,),
-        in_specs=[blk],
-        out_specs=blk,
-        interpret=_interpret(),
-    )(af)
-    return _unblockify(spec, out, n, batch_shape)
+    return _run(spec, kernel, (a,))
+
+
+@partial(jax.jit, static_argnums=0)
+def add(spec: FieldSpec, a, b):
+    K = spec.num_limbs
+
+    def kernel(a_ref, b_ref, n_ref, n0_ref, o_ref):
+        rows = _k_add(_rows_of(a_ref, K), _rows_of(b_ref, K), _rows_of(n_ref, K))
+        for i in range(K):
+            o_ref[i, :] = rows[i]
+
+    return _run(spec, kernel, (a, b))
+
+
+@partial(jax.jit, static_argnums=0)
+def sub(spec: FieldSpec, a, b):
+    K = spec.num_limbs
+
+    def kernel(a_ref, b_ref, n_ref, n0_ref, o_ref):
+        rows = _k_sub(_rows_of(a_ref, K), _rows_of(b_ref, K), _rows_of(n_ref, K))
+        for i in range(K):
+            o_ref[i, :] = rows[i]
+
+    return _run(spec, kernel, (a, b))
 
 
 @partial(jax.jit, static_argnums=0)
@@ -124,26 +230,17 @@ def butterfly(spec: FieldSpec, even, odd, w):
     The TPU counterpart of the reference's fused butterfly kernels
     (ntt_kernels.cu:498-574): one VMEM round-trip for three field ops.
     """
-    (ef, of, wf), n, batch_shape = _blockify(spec, (even, odd, w))
     K = spec.num_limbs
-    grid = ef.shape[-1] // LANE_BLOCK
-    blk = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
-                       memory_space=pltpu.VMEM)
 
-    def kernel(e_ref, o_ref, w_ref, hi_ref, lo_ref):
-        t = ops.mont_mul_impl(spec, o_ref[:, :], w_ref[:, :])
-        e = e_ref[:, :]
-        hi_ref[:, :] = ops.add_unrolled_impl(spec, e, t)
-        lo_ref[:, :] = ops.sub_unrolled_impl(spec, e, t)
+    def kernel(e_ref, o_ref, w_ref, n_ref, n0_ref, hi_ref, lo_ref):
+        n_rows = _rows_of(n_ref, K)
+        t = _k_mont_mul(K, _rows_of(o_ref, K), _rows_of(w_ref, K),
+                        n_rows, n0_ref[0, 0])
+        e = _rows_of(e_ref, K)
+        hi = _k_add(e, t, n_rows)
+        lo = _k_sub(e, t, n_rows)
+        for i in range(K):
+            hi_ref[i, :] = hi[i]
+            lo_ref[i, :] = lo[i]
 
-    hi, lo = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct(ef.shape, jnp.uint32),
-                   jax.ShapeDtypeStruct(ef.shape, jnp.uint32)),
-        grid=(grid,),
-        in_specs=[blk, blk, blk],
-        out_specs=(blk, blk),
-        interpret=_interpret(),
-    )(ef, of, wf)
-    return (_unblockify(spec, hi, n, batch_shape),
-            _unblockify(spec, lo, n, batch_shape))
+    return _run(spec, kernel, (even, odd, w), n_out=2)

@@ -54,13 +54,29 @@ FR_BITS = 255
 def window_bits_for(n: int) -> int:
     """Window size heuristic (analog of the table in msm.cuh:115-133).
 
-    TPU cost model: per-window work is N mixed adds (scan) + O(B) lane ops,
-    so w grows with log2(N) until the bucket-tile overhead bites.
+    TPU cost model (profiled on v5e at 2^16): per-window cost is dominated
+    by the N-mixed-add scan plus a ~300ms lane-op floor, while the bucket
+    tile work is lane-parallel and nearly free — so unlike the GPU table
+    the optimum pushes w as high as the bucket tile allows (total work
+    scales with T = ceil(255/w)+1).  Measured: w=15 beats w=11 by ~1.7x
+    at 2^16.  Cap 15: the triangle-reduction tile assumes nb <= 16384.
     """
     if n <= 0:
         return 4
     ln = max(1, n).bit_length() - 1
-    return int(np.clip(ln - 5, 4, 15))
+    return int(np.clip(ln - 1, 4, 15))
+
+
+def lane_tile_for(n: int) -> int:
+    """Lane width L for the bucket-accumulation tile (R = ceil(n/L) rows).
+
+    Cost model: the row scan is R sequential mixed adds, the column
+    stitch is log2(L) sequential lane adds — balance R against log2(L)
+    with wide lanes to keep the VPU full (profiled sweet spot at 2^16 is
+    L=4096/R=16, where scan and stitch each cost ~58ms).
+    """
+    ln = max(4, n).bit_length() - 1
+    return 1 << int(np.clip((ln + 8) // 2, 3, 14))
 
 
 def decompose_signed_digits(scalars_std, w: int):
@@ -357,7 +373,7 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
     w = window_bits or window_bits_for(n)
     nb = 1 << (w - 1)
     # lane width: ~sqrt(n), power of two, within [8, 2048]
-    L = 1 << int(np.clip(round(np.log2(max(n, 4)) / 2), 3, 11))
+    L = lane_tile_for(n)
     R = -(-n // L)
     lb_bits = min(128, nb).bit_length() - 1
 
@@ -424,7 +440,7 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
     D, nloc = inf.shape[0], inf.shape[-1]
     w = window_bits or window_bits_for(nloc)
     nb = 1 << (w - 1)
-    L = 1 << int(np.clip(round(np.log2(max(nloc, 4)) / 2), 3, 11))
+    L = lane_tile_for(nloc)
     R = -(-nloc // L)
     lb_bits = min(128, nb).bit_length() - 1
     T = num_windows(w)
@@ -495,7 +511,7 @@ def msm_traceable(F, scalars, A, *, window_bits: int | None = None,
         scalars = ops.from_mont(FR, scalars)
     w = window_bits or window_bits_for(n)
     nb = 1 << (w - 1)
-    L = 1 << int(np.clip(round(np.log2(max(n, 4)) / 2), 3, 11))
+    L = lane_tile_for(n)
     R = -(-n // L)
     lb_bits = min(128, nb).bit_length() - 1
 
@@ -587,7 +603,7 @@ def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
         scalars = ops.from_mont(FR, scalars)
     w = window_bits
     nb = 1 << (w - 1)
-    L = 1 << int(np.clip(round(np.log2(max(n_eff, 4)) / 2), 3, 11))
+    L = lane_tile_for(n_eff)
     R = -(-n_eff // L)
     lb_bits = min(128, nb).bit_length() - 1
 
