@@ -139,6 +139,33 @@ def jac_add_affine(F, P, A):
     return R
 
 
+def _fq_fused(F) -> bool:
+    """True when the fused Pallas G1 kernels should serve this adapter."""
+    from ..fields import fast
+    from .field_adapters import FQ_ADAPTER
+
+    return F is FQ_ADAPTER and fast.use_pallas()
+
+
+def jac_add_fast(F, P, Q):
+    """jac_add routed to the fused Pallas kernel on TPU (G1 only);
+    bit-identical to the generic path (validated on-device)."""
+    if _fq_fused(F):
+        from .pallas_g1 import jadd
+
+        return jadd(P, Q)
+    return jac_add(F, P, Q)
+
+
+def jac_add_affine_fast(F, P, A):
+    """jac_add_affine routed to the fused Pallas kernel on TPU (G1 only)."""
+    if _fq_fused(F):
+        from .pallas_g1 import madd
+
+        return madd(P, A)
+    return jac_add_affine(F, P, A)
+
+
 def jac_to_affine(F, P):
     """Jacobian -> affine: (X/Z^2, Y/Z^3, inf=Z==0)."""
     X, Y, Z = P
@@ -252,6 +279,6 @@ def sum_reduce(F, P):
         half = m // 2
         left = tree.tree_map(lambda c: c[..., :half], P)
         right = tree.tree_map(lambda c: c[..., half:m], P)
-        P = jac_add(F, left, right)
+        P = jac_add_fast(F, left, right)
         m = half
     return tree.tree_map(lambda c: c[..., 0], P)

@@ -143,7 +143,7 @@ def _lane_prefix_exclusive(F, P):
 
     def body(i, acc):
         d = jnp.int32(1) << i
-        return pt.jac_add(F, acc, _shift_dyn(F, acc, d, "right"))
+        return pt.jac_add_fast(F, acc, _shift_dyn(F, acc, d, "right"))
 
     incl = jax.lax.fori_loop(0, _scan_steps(L), body, P)
     return _shift_dyn(F, incl, jnp.int32(1), "right")
@@ -154,7 +154,7 @@ def _lane_suffix_inclusive(F, P):
 
     def body(i, acc):
         d = jnp.int32(1) << i
-        return pt.jac_add(F, acc, _shift_dyn(F, acc, d, "left"))
+        return pt.jac_add_fast(F, acc, _shift_dyn(F, acc, d, "left"))
 
     return jax.lax.fori_loop(0, _scan_steps(L), body, P)
 
@@ -187,7 +187,7 @@ def _weighted_index_sum(F, P):
     S = _lane_suffix_inclusive(F, P)
     total_tail = _sum_last_axis(F, S)  # sum_k S_k  (k >= 0)
     S0 = tree_map(lambda c: c[..., 0], S)
-    return pt.jac_add(F, total_tail, pt.jac_neg(F, S0)), S0
+    return pt.jac_add_fast(F, total_tail, pt.jac_neg(F, S0)), S0
 
 
 def _double_n(F, P, times: int):
@@ -254,7 +254,7 @@ def _stage_scan(F, x_rows, y_rows, inf_rows):
 
     def step(acc, row):
         rx, ry, rinf = row
-        acc = pt.jac_add_affine(F, acc, (rx, ry, rinf))
+        acc = pt.jac_add_affine_fast(F, acc, (rx, ry, rinf))
         return acc, acc
 
     col_total, prefix_rows = jax.lax.scan(step, ident, (x_rows, y_rows, inf_rows))
@@ -288,11 +288,11 @@ def _stage_boundary(F, key_sorted, col_carry, nb: int, prefix_rows):
     r_idx, l_idx = p % R, p // R
     part = _gather_jac_rows(prefix_rows, r_idx, l_idx)  # (K, 2*nb)
     carry = tree_map(lambda c: c[..., l_idx], col_carry)
-    S = pt.jac_add(F, part, carry)
+    S = pt.jac_add_fast(F, part, carry)
     S = pt.jac_cmov(F, valid, S, pt.jac_identity(F, (2 * nb,)))
     S_hi = tree_map(lambda c: c[..., :nb], S)
     S_lo = tree_map(lambda c: c[..., nb:], S)
-    sums = pt.jac_add(F, S_hi, pt.jac_neg(F, S_lo))
+    sums = pt.jac_add_fast(F, S_hi, pt.jac_neg(F, S_lo))
     return pt.jac_cmov(F, cnt > 0, sums, pt.jac_identity(F, (nb,)))
 
 
@@ -330,8 +330,8 @@ def _stage_triangle_scans(F, buckets, nb: int):
 def _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits: int):
     """W = 2^lb_bits * w_rows + w_cols + total (window triangle total)."""
     part = _double_n(F, w_rows, lb_bits)
-    out = pt.jac_add(F, part, w_cols)
-    return pt.jac_add(F, out, total)
+    out = pt.jac_add_fast(F, part, w_cols)
+    return pt.jac_add_fast(F, out, total)
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -342,7 +342,7 @@ def _stage_horner(F, Ws, w: int):
 
     def combine(acc, Wt):
         acc = _double_n(F, acc, w)
-        return pt.jac_add(F, acc, Wt), 0
+        return pt.jac_add_fast(F, acc, Wt), 0
 
     top = tree_map(lambda c: c[0], Ws_rev)
     rest = tree_map(lambda c: c[1:], Ws_rev)

@@ -21,33 +21,33 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .fields import ops
+from .fields import fast, ops
 from .fields.field import FieldSpec
 
 
 # -- trivial elementwise wrappers (the public vecops API surface) -------------
 
 def vector_add(spec, a, b):
-    return ops.add(spec, a, b)
+    return fast.add(spec, a, b)
 
 
 def vector_sub(spec, a, b):
-    return ops.sub(spec, a, b)
+    return fast.sub(spec, a, b)
 
 
 def vector_mul(spec, a, b):
-    return ops.mont_mul(spec, a, b)
+    return fast.mont_mul(spec, a, b)
 
 
 def scalar_vec_mul(spec, s, v):
     """Broadcast single scalar s (K,) over vector v (K, n)."""
     s = s.reshape((spec.num_limbs,) + (1,) * (v.ndim - 1))
-    return ops.mont_mul(spec, jnp.broadcast_to(s, v.shape), v)
+    return fast.mont_mul(spec, jnp.broadcast_to(s, v.shape), v)
 
 
 def scalar_vec_add(spec, s, v):
     s = s.reshape((spec.num_limbs,) + (1,) * (v.ndim - 1))
-    return ops.add(spec, jnp.broadcast_to(s, v.shape), v)
+    return fast.add(spec, jnp.broadcast_to(s, v.shape), v)
 
 
 # -- bit reverse ---------------------------------------------------------------
