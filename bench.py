@@ -58,13 +58,26 @@ def _random_g1_batch(n: int, seed: int = 7):
     return (tile(Am[0]), tile(Am[1]), jnp.tile(Am[2], (reps,))[:n])
 
 
+def _random_fr_mont(n: int, seed: int = 3):
+    """(16, n) Montgomery-form random scalars; native C++ batch encode when
+    available (a 1M-element Python-int loop costs minutes on this host)."""
+    from tpu_bls12_381 import native
+
+    rng = np.random.default_rng(seed)
+    if native.available():
+        words = rng.integers(0, 1 << 62, size=(n, 4), dtype=np.uint64)
+        words[:, 3] &= (1 << 48) - 1  # < 2^240 < r: uniform enough for perf
+        return jnp.asarray(native.wire_to_limbs16(
+            native.mont_encode(words, native.FIELD_FR)))
+    vals = [int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
+            % constants.FR_MODULUS for _ in range(n)]
+    return jnp.asarray(ints_to_limbs([FR.to_mont(s) for s in vals],
+                                     FR.num_limbs))
+
+
 def bench_msm(log_n: int, reps: int):
     n = 1 << log_n
-    rng = np.random.default_rng(3)
-    scalars_int = [int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
-                   % constants.FR_MODULUS for _ in range(n)]
-    scalars = jnp.asarray(ints_to_limbs([FR.to_mont(s) for s in scalars_int],
-                                        FR.num_limbs))
+    scalars = _random_fr_mont(n)
     A = _random_g1_batch(n)
     jax.block_until_ready(A)
 

@@ -103,7 +103,45 @@ class TestShardedNtt:
         assert got == want
 
 
+class TestBatchShardedNtt:
+    def test_batch_matches_single_device(self, rng):
+        from tpu_bls12_381.parallel import ntt_batch_sharded
+
+        mesh = _mesh()
+        B, n = mesh.devices.size * 2, 256
+        rows = [_rand_fr_mont(rng, n) for _ in range(B)]
+        x = jnp.stack(rows, axis=1)  # (K, B, n)
+        got = ntt_batch_sharded(x, mesh)
+        want = ntt(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 class TestShardedMsm:
+    def test_g2_sharded_matches_oracle(self, rng):
+        from tpu_bls12_381 import oracle
+        from tpu_bls12_381.curves import g2
+        from tpu_bls12_381.parallel import msm_g2_sharded
+
+        mesh = _mesh()
+        n = 8 * mesh.devices.size
+        ks = [rng.randrange(1, 1 << 24) for _ in range(n)]
+        G2g = oracle.g2_generator()
+        pts = [oracle.jac_to_affine(
+            oracle.scalar_mul(k, G2g, oracle.FQ2_OPS), oracle.FQ2_OPS)
+            for k in ks]
+        A = g2.affine_from_ints(pts)
+        vals = [rng.randrange(constants.FR_MODULUS) for _ in range(n)]
+        scalars = jnp.asarray(
+            ints_to_limbs([FR.to_mont(v) for v in vals], FR.num_limbs))
+        sc_sh, A_sh = shard_msm_inputs(scalars, A, mesh)
+        got = msm_g2_sharded(sc_sh, A_sh, mesh)
+        want_k = sum(v * k for v, k in zip(vals, ks)) % constants.FR_MODULUS
+        want = oracle.jac_to_affine(
+            oracle.scalar_mul(want_k, G2g, oracle.FQ2_OPS), oracle.FQ2_OPS)
+        got_pts = g2.jacobian_to_ints(
+            jax.tree_util.tree_map(lambda c: c[..., None], got))
+        assert got_pts[0] == want
+
     def test_matches_single_device(self, rng):
         mesh = _mesh()
         n = 256

@@ -218,6 +218,30 @@ class TestTypes:
         assert limbs_to_ints(rt_types.mont_decode_host(FQ, enc)) == vals
 
 
+class TestVecopDispatch:
+    def test_routes_and_matches(self, rng, env):
+        from tpu_bls12_381.runtime.dispatch import dispatch_vecop
+
+        a = [rng.randrange(constants.FR_MODULUS) for _ in range(32)]
+        b = [rng.randrange(constants.FR_MODULUS) for _ in range(32)]
+        res = dispatch_vecop("mul", a, b)
+        assert res.route is Route.CPU  # below the 4096 threshold
+        assert res.value == [x * y % constants.FR_MODULUS for x, y in zip(a, b)]
+        env("MIDNIGHT_DEVICE", "tpu")
+        acc = dispatch_vecop("add", a, b)
+        assert acc.route is Route.ACCEL
+        assert acc.value == [(x + y) % constants.FR_MODULUS for x, y in zip(a, b)]
+
+
+class TestMemoryReport:
+    def test_report_counts_live_arrays(self):
+        from tpu_bls12_381.runtime import live_arrays_report, total_live_bytes
+
+        keep = jnp.zeros((16, 100), jnp.uint32)
+        rep = live_arrays_report()
+        assert "live arrays" in rep and total_live_bytes() >= keep.size * 4
+
+
 class TestAccelerator:
     def test_backend_info(self):
         info = backend_info()

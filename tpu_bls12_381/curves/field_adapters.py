@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..fields import FQ, ops
+from ..fields import FQ, fast, ops
 
 
 class FqAdapter:
@@ -30,18 +30,18 @@ class FqAdapter:
         self.spec = spec
         self.limb_shape = (spec.num_limbs,)
 
-    # -- arithmetic ---------------------------------------------------------
+    # -- arithmetic (backend-routed: Pallas kernels on TPU) ------------------
     def add(self, a, b):
-        return ops.add(self.spec, a, b)
+        return fast.add(self.spec, a, b)
 
     def sub(self, a, b):
-        return ops.sub(self.spec, a, b)
+        return fast.sub(self.spec, a, b)
 
     def mul(self, a, b):
-        return ops.mont_mul(self.spec, a, b)
+        return fast.mont_mul(self.spec, a, b)
 
     def sqr(self, a):
-        return ops.mont_sqr(self.spec, a)
+        return fast.mont_sqr(self.spec, a)
 
     def neg(self, a):
         return ops.neg(self.spec, a)

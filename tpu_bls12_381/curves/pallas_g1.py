@@ -70,6 +70,51 @@ def _k_dbl(n_rows, n0, X, Y, Z):
     return X3, Y3, Z3
 
 
+def _dbl_kernel(x1_ref, y1_ref, z1_ref, n_ref, n0_ref,
+                x3_ref, y3_ref, z3_ref):
+    n_rows = [n_ref[i, :] for i in range(K)]
+    n0 = n0_ref[0, 0]
+    X = [x1_ref[i, :] for i in range(K)]
+    Y = [y1_ref[i, :] for i in range(K)]
+    Z = [z1_ref[i, :] for i in range(K)]
+    X3, Y3, Z3 = _k_dbl(n_rows, n0, X, Y, Z)
+    for i in range(K):
+        x3_ref[i, :] = X3[i]
+        y3_ref[i, :] = Y3[i]
+        z3_ref[i, :] = Z3[i]
+
+
+@jax.jit
+def jdbl(P):
+    """Fused G1 Jacobian doubling; same contract as points.jac_double
+    (dbl-2009-l is complete for Z = 0, point.cuh:610-666 analog)."""
+    batch_shape = P[0].shape[1:]
+    flat = lambda c: c.reshape(K, -1)
+    n = flat(P[0]).shape[-1]
+    pad = (-n) % LANE_BLOCK
+    arrs = [flat(c) for c in P]
+    if pad:
+        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
+    width = arrs[0].shape[-1]
+    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    ncol, n0, _one = _consts()
+    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
+    X3, Y3, Z3 = pl.pallas_call(
+        _dbl_kernel,
+        out_shape=(shape, shape, shape),
+        grid=(width // LANE_BLOCK,),
+        in_specs=[data] * 3 + [cspec, n0spec],
+        out_specs=(data, data, data),
+        interpret=_interpret(),
+    )(*arrs, ncol, n0)
+    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
+    return unflat(X3), unflat(Y3), unflat(Z3)
+
+
 def _madd_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, inf2_ref,
                  n_ref, n0_ref, one_ref, x3_ref, y3_ref, z3_ref):
     n_rows = [n_ref[i, :] for i in range(K)]

@@ -166,6 +166,15 @@ def jac_add_affine_fast(F, P, A):
     return jac_add_affine(F, P, A)
 
 
+def jac_double_fast(F, P):
+    """jac_double routed to the fused Pallas kernel on TPU (G1 only)."""
+    if _fq_fused(F):
+        from .pallas_g1 import jdbl
+
+        return jdbl(P)
+    return jac_double(F, P)
+
+
 def jac_to_affine(F, P):
     """Jacobian -> affine: (X/Z^2, Y/Z^3, inf=Z==0)."""
     X, Y, Z = P

@@ -192,7 +192,7 @@ def _weighted_index_sum(F, P):
 
 def _double_n(F, P, times: int):
     def body(_, acc):
-        return pt.jac_double(F, acc)
+        return pt.jac_double_fast(F, acc)
 
     return jax.lax.fori_loop(0, times, body, P)
 

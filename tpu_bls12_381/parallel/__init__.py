@@ -9,7 +9,7 @@ the combine steps.
 
 from .mesh import default_mesh, shard_axis
 from .msm import msm_sharded, msm_g1_sharded, msm_g2_sharded
-from .ntt import ntt_sharded, intt_sharded, build_step_twiddles
+from .ntt import ntt_sharded, intt_sharded, ntt_batch_sharded, build_step_twiddles
 
 __all__ = [
     "default_mesh",
@@ -19,5 +19,6 @@ __all__ = [
     "msm_g2_sharded",
     "ntt_sharded",
     "intt_sharded",
+    "ntt_batch_sharded",
     "build_step_twiddles",
 ]

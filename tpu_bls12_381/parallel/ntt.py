@@ -179,3 +179,22 @@ def ntt_sharded(x, mesh, *, transposed_out: bool = False):
 def intt_sharded(x, mesh, *, transposed_in: bool = False):
     """Inverse NTT (with 1/n scale); accepts natural or transposed input."""
     return _ntt_sharded_impl(x, mesh, True, transposed_in, False)
+
+
+def ntt_batch_sharded(x, mesh, *, inverse: bool = False):
+    """Batch of independent NTTs with the batch axis sharded over the mesh.
+
+    x: (K, B, n) — each device transforms B/p rows locally; zero
+    communication (the embarrassingly-parallel axis of the reference's
+    batched NTT, ntt_kernels.cu:968-1133, scaled out over chips).
+    """
+    from ..ntt.domain import get_domain
+    from ..ntt.ntt import intt as intt_fn
+    from ..ntt.ntt import ntt as ntt_fn
+
+    n = x.shape[-1]
+    dom = get_domain(n.bit_length() - 1)
+    sharding = NamedSharding(mesh, P(None, SHARD_AXIS, None))
+    x = jax.device_put(x, sharding)
+    fn = intt_fn if inverse else ntt_fn
+    return jax.jit(lambda v: fn(v, domain=dom), out_shardings=sharding)(x)

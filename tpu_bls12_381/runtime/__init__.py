@@ -23,7 +23,8 @@ from .accelerator import (
     backend_info,
     warmup,
 )
-from .dispatch import DispatchResult, dispatch_msm, dispatch_ntt
+from .dispatch import DispatchResult, dispatch_msm, dispatch_ntt, dispatch_vecop
+from .memory import live_arrays_report, total_live_bytes
 
 __all__ = [
     "Config",
@@ -42,4 +43,7 @@ __all__ = [
     "DispatchResult",
     "dispatch_msm",
     "dispatch_ntt",
+    "dispatch_vecop",
+    "live_arrays_report",
+    "total_live_bytes",
 ]

@@ -75,8 +75,19 @@ def _accel_msm(scalars: list[int], bases: list, curve: str):
     A = cm.affine_from_ints(bases)
     P = ctx_adapter.msm(sc, A)
     out = cm.jacobian_to_ints(
-        __import__("jax").tree_util.tree_map(lambda c: c[..., None], P))
-    return out[0]
+        __import__("jax").tree_util.tree_map(lambda c: c[..., None], P))[0]
+    # validate the result is on-curve before handing it to the consumer —
+    # the same defense as the reference's icicle_to_g1_projective
+    # (core/types.rs:353-368 routes results through from_xy validation);
+    # an off-curve result raises, which dispatch_msm turns into a CPU
+    # fallback with the error preserved.
+    from .. import oracle as _oracle
+
+    ok = (_oracle.g1_is_on_curve(out) if curve == "g1"
+          else _oracle.g2_is_on_curve(out))
+    if not ok:
+        raise RuntimeError("accelerated MSM produced an off-curve point")
+    return out
 
 
 _G1_CTX = None
@@ -115,6 +126,54 @@ def dispatch_ntt(values: list[int], inverse: bool = False) -> DispatchResult:
             logger.warning("accelerated NTT failed (%s); falling back to CPU", e)
             return DispatchResult(oracle.ntt(values, inverse), Route.ACCEL_FAILED, e)
     return DispatchResult(oracle.ntt(values, inverse), Route.CPU)
+
+
+_VECOPS = {
+    "add": lambda a, b, p: [(x + y) % p for x, y in zip(a, b)],
+    "sub": lambda a, b, p: [(x - y) % p for x, y in zip(a, b)],
+    "mul": lambda a, b, p: [x * y % p for x, y in zip(a, b)],
+}
+
+
+def dispatch_vecop(op: str, a: list[int], b: list[int],
+                   field: str = "fr") -> DispatchResult:
+    """Element-wise vector op on int lists, size-routed like core/vecops.rs
+    (CPU below MIDNIGHT_VECOPS_MIN_SIZE, accelerator above, transparent
+    fallback on accelerator failure)."""
+    from .config import config
+
+    if op not in _VECOPS:
+        raise ValueError(f"unknown vecop {op!r}")
+    from ..fields import FQ, FR
+
+    spec = FR if field == "fr" else FQ
+    n = len(a)
+    if config().use_accel_vecops(n):
+        try:
+            return DispatchResult(_accel_vecop(op, a, b, spec), Route.ACCEL)
+        except Exception as e:  # noqa: BLE001 - transparent fallback
+            logger.warning("accelerated vecop failed (%s); CPU fallback", e)
+            return DispatchResult(_VECOPS[op](a, b, spec.modulus),
+                                  Route.ACCEL_FAILED, e)
+    return DispatchResult(_VECOPS[op](a, b, spec.modulus), Route.CPU)
+
+
+def _accel_vecop(op: str, a: list[int], b: list[int], spec):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .. import vecops
+    from ..fields import ops
+    from ..fields.limbs import ints_to_limbs, limbs_to_ints
+
+    av = jnp.asarray(ints_to_limbs([spec.to_mont(v % spec.modulus) for v in a],
+                                   spec.num_limbs))
+    bv = jnp.asarray(ints_to_limbs([spec.to_mont(v % spec.modulus) for v in b],
+                                   spec.num_limbs))
+    fn = {"add": vecops.vector_add, "sub": vecops.vector_sub,
+          "mul": vecops.vector_mul}[op]
+    out = fn(spec, av, bv)
+    return limbs_to_ints(np.asarray(ops.from_mont(spec, out)))
 
 
 def _accel_ntt(values: list[int], inverse: bool):
