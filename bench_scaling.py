@@ -1,0 +1,85 @@
+"""Weak-scaling efficiency harness for sharded MSM and NTT.
+
+Runs the sharded pipelines over mesh sizes 1, 2, 4, ..., P (all
+addressable devices) with the problem size scaled proportionally, and
+reports throughput and weak-scaling efficiency per size — the harness
+for the BASELINE.json >=80%-efficiency target on multi-chip slices.
+
+On a single-chip host this degenerates to the 1-device row (the CI box);
+run on a pod slice (after `jax.distributed.initialize` for multi-host)
+to get the real curve.  Prints one JSON line per mesh size.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_bls12_381_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from tpu_bls12_381.fields import FR
+from tpu_bls12_381.parallel import default_mesh, msm_g1_sharded, ntt_sharded
+from tpu_bls12_381.parallel.msm import shard_msm_inputs
+
+import bench as bench_mod
+
+
+def run(points_per_device_log2: int = 18, ntt_log_n_base: int = 20,
+        reps: int = 2) -> None:
+    all_devices = jax.devices()
+    sizes = []
+    p = 1
+    while p <= len(all_devices):
+        sizes.append(p)
+        p *= 2
+    base_rate_msm = base_rate_ntt = None
+    for p in sizes:
+        mesh = default_mesh(p)
+        # --- MSM: n scales with p (weak scaling) -------------------------
+        n = (1 << points_per_device_log2) * p
+        scalars = bench_mod._random_fr_mont(n)
+        A = bench_mod._random_g1_batch(n)
+        sc_sh, A_sh = shard_msm_inputs(scalars, A, mesh)
+        out = msm_g1_sharded(sc_sh, A_sh, mesh)
+        jax.block_until_ready(out)
+        best = min(_time(lambda: msm_g1_sharded(sc_sh, A_sh, mesh))
+                   for _ in range(reps))
+        rate = n / best
+        base_rate_msm = base_rate_msm or rate
+        print(json.dumps({
+            "metric": f"g1_msm_weak_scaling", "devices": p, "n": n,
+            "value": round(rate, 1), "unit": "points/s",
+            "efficiency": round(rate / (base_rate_msm * p), 4),
+        }))
+        # --- NTT: n scales with p ----------------------------------------
+        log_n = ntt_log_n_base + (p - 1).bit_length()
+        x = jnp.asarray(np.random.default_rng(5).integers(
+            0, 1 << 16, size=(FR.num_limbs, 1 << log_n), dtype=np.uint64)
+        ).astype(jnp.uint32)
+        ev = ntt_sharded(x, mesh, transposed_out=True)
+        jax.block_until_ready(ev)
+        best = min(_time(lambda: ntt_sharded(x, mesh, transposed_out=True))
+                   for _ in range(reps))
+        rate = (1 << log_n) / best
+        base_rate_ntt = base_rate_ntt or rate
+        print(json.dumps({
+            "metric": f"ntt_weak_scaling", "devices": p, "log_n": log_n,
+            "value": round(rate, 1), "unit": "elems/s",
+            "efficiency": round(rate / (base_rate_ntt * p), 4),
+        }))
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn())
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    run()

@@ -26,7 +26,10 @@ import pytest
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# MIDNIGHT_TEST_TPU=1 runs the suite on the real chip instead (enables the
+# TPU-gated kernel bit-exactness tests; much slower per compile).
+if os.environ.get("MIDNIGHT_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite compiles many small integer
 # programs; caching makes re-runs fast.

@@ -1,0 +1,54 @@
+"""Single-chip four-step NTT (ntt/pallas_ntt.py) vs the radix-2 ladder.
+
+TPU-only: the tile kernel's interpret-mode compile is pathologically slow
+on CPU, and on CPU the ladder path is authoritative (oracle-validated in
+test_ntt.py).  Bit-exact agreement with the ladder chains the four-step
+to the same oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_bls12_381.fields import FR
+from tpu_bls12_381.ntt import get_domain
+from tpu_bls12_381.ntt.ntt import Ordering, _ntt_core
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="fused NTT tile kernel is TPU-only"
+)
+
+
+def _rand_fr(n, seed=7):
+    """Random REDUCED Fr elements: top limb zeroed so values < 2^240 < r
+    (bit-exact roundtrips require inputs already in canonical range)."""
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, 1 << 16, size=(FR.num_limbs, n), dtype=np.uint64)
+    v[-1] = 0
+    return jnp.asarray(v).astype(jnp.uint32)
+
+
+@pytest.mark.parametrize("log_n", [10, 13])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_fourstep_matches_ladder(log_n, inverse):  # pragma: no cover - TPU
+    from tpu_bls12_381.ntt.pallas_ntt import ntt_fourstep
+
+    n = 1 << log_n
+    dom = get_domain(log_n)
+    x = _rand_fr(n)
+    got = ntt_fourstep(x, inverse=inverse, domain=dom)
+    tw = dom.itw if inverse else dom.tw
+    want = _ntt_core(x, log_n, inverse, Ordering.NN, tw, dom.n_inv)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fourstep_roundtrip():  # pragma: no cover - TPU
+    from tpu_bls12_381.ntt.pallas_ntt import ntt_fourstep
+
+    log_n = 12
+    dom = get_domain(log_n)
+    x = _rand_fr(1 << log_n, seed=9)
+    back = ntt_fourstep(ntt_fourstep(x, domain=dom), inverse=True, domain=dom)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))

@@ -1,15 +1,18 @@
-"""Fused G1 Jacobian mixed-addition Pallas kernel (the MSM hot loop).
+"""Fused G1 group-law Pallas kernels (the MSM hot loop).
 
-One kernel evaluates the complete madd-2007-bl formula *and* the
-doubling fallback with constant-time selects — ~18 Fq multiplies plus
-the add/sub chains — entirely in VMEM, instead of ~30 separate XLA ops
-with intermediate HBM traffic.  Semantics are identical to
-``points.jac_add_affine`` (edge cases: P identity, A infinity, P == A
--> double, P == -A -> identity); tests assert bit-exactness against the
-generic path.
+Two families, each fully fused in VMEM (one kernel instead of ~30
+separate XLA ops with intermediate HBM traffic):
 
-This is the TPU counterpart of the reference's ``g1_add_mixed``
-device function (point.cuh:803-915) as used by the bucket-accumulation
+* **Projective RCB16** (``pmadd``/``padd``/``pdbl``) — the production
+  MSM accumulator: complete straight-line formulas, 11-12 Fq muls per
+  add with no doubling fallback (curves/projective.py).
+* **Jacobian** (``madd``/``jadd``/``jdbl``) — the reference-style
+  complete-with-cmov formulas (madd-2007-bl + dbl-2009-l fallback),
+  kept for the Jacobian public representation and scalar_mul.
+
+Semantics are bit-identical to the generic adapter paths; tests assert
+this on-device.  TPU counterpart of ``g1_add_mixed``/``g1_add``/
+``g1_double`` (point.cuh:610-915) as used by the bucket-accumulation
 kernels (msm_kernels.cu:268-366).
 """
 
@@ -279,6 +282,232 @@ def jadd(P, Q):
         out_specs=(data, data, data),
         interpret=_interpret(),
     )(*arrs, ncol, n0, one)
+    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
+    return unflat(X3), unflat(Y3), unflat(Z3)
+
+
+# -----------------------------------------------------------------------------
+# Complete homogeneous-projective kernels (RCB16; see curves/projective.py).
+# These are the production MSM hot loop: no doubling fallback, no edge-case
+# chains — one straight-line formula per kernel.
+# -----------------------------------------------------------------------------
+
+
+def _k_mul12(rows, n_rows):
+    """12a via double/add chains (3b for G1's b = 4); stays reduced."""
+    t = _k_add(_k_add(rows, rows, n_rows), rows, n_rows)  # 3a
+    t = _k_add(t, t, n_rows)
+    return _k_add(t, t, n_rows)
+
+
+def _k_proj_add(n_rows, n0, X1, Y1, Z1, X2, Y2, Z2):
+    """RCB16 algorithm 7 (a=0): complete add on limb rows, 12M + 2*mul12."""
+    mul = lambda a, b: _k_mont_mul(K, a, b, n_rows, n0)
+    add = lambda a, b: _k_add(a, b, n_rows)
+    sub = lambda a, b: _k_sub(a, b, n_rows)
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = sub(mul(add(X1, Y1), add(X2, Y2)), add(t0, t1))
+    t4 = sub(mul(add(Y1, Z1), add(Y2, Z2)), add(t1, t2))
+    ty = sub(mul(add(X1, Z1), add(X2, Z2)), add(t0, t2))
+    t0_3 = add(add(t0, t0), t0)
+    t2 = _k_mul12(t2, n_rows)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = _k_mul12(ty, n_rows)
+    X3_out = sub(mul(t3, t1), mul(t4, Y3))
+    Y3_out = add(mul(t1, Z3), mul(Y3, t0_3))
+    Z3_out = add(mul(Z3, t4), mul(t0_3, t3))
+    return X3_out, Y3_out, Z3_out
+
+
+def _k_proj_madd(n_rows, n0, X1, Y1, Z1, x2, y2, inf2):
+    """RCB16 algorithm 8 (a=0, Z2=1): complete mixed add, 11M + 2*mul12.
+
+    ``inf2`` selects P through (affine can't encode the identity)."""
+    mul = lambda a, b: _k_mont_mul(K, a, b, n_rows, n0)
+    add = lambda a, b: _k_add(a, b, n_rows)
+    sub = lambda a, b: _k_sub(a, b, n_rows)
+    t0 = mul(X1, x2)
+    t1 = mul(Y1, y2)
+    t3 = sub(mul(add(X1, Y1), add(x2, y2)), add(t0, t1))
+    t4 = add(mul(x2, Z1), X1)
+    t5 = add(mul(y2, Z1), Y1)
+    t0_3 = add(add(t0, t0), t0)
+    t2 = _k_mul12(Z1, n_rows)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = _k_mul12(t4, n_rows)
+    X3_out = sub(mul(t3, t1), mul(t5, Y3))
+    Y3_out = add(mul(t1, Z3), mul(Y3, t0_3))
+    Z3_out = add(mul(Z3, t5), mul(t0_3, t3))
+    X3_out = _k_cmov(inf2, X1, X3_out)
+    Y3_out = _k_cmov(inf2, Y1, Y3_out)
+    Z3_out = _k_cmov(inf2, Z1, Z3_out)
+    return X3_out, Y3_out, Z3_out
+
+
+def _k_proj_dbl(n_rows, n0, X, Y, Z):
+    """RCB16 algorithm 9 (a=0): complete doubling, 6M + 2S + mul12."""
+    mul = lambda a, b: _k_mont_mul(K, a, b, n_rows, n0)
+    add = lambda a, b: _k_add(a, b, n_rows)
+    sub = lambda a, b: _k_sub(a, b, n_rows)
+    t0 = mul(Y, Y)
+    Z3 = add(add(add(t0, t0), add(t0, t0)), add(add(t0, t0), add(t0, t0)))
+    t1 = mul(Y, Z)
+    t2 = _k_mul12(mul(Z, Z), n_rows)
+    X3 = mul(t2, Z3)
+    Y3 = add(t0, t2)
+    Z3 = mul(t1, Z3)
+    t2 = add(add(t2, t2), t2)
+    t0 = sub(t0, t2)
+    Y3 = add(mul(t0, Y3), X3)
+    XY = mul(X, Y)
+    t = mul(t0, XY)
+    X3 = add(t, t)
+    return X3, Y3, Z3
+
+
+def _pmadd_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, inf2_ref,
+                  n_ref, n0_ref, x3_ref, y3_ref, z3_ref):
+    n_rows = [n_ref[i, :] for i in range(K)]
+    n0 = n0_ref[0, 0]
+    X1 = [x1_ref[i, :] for i in range(K)]
+    Y1 = [y1_ref[i, :] for i in range(K)]
+    Z1 = [z1_ref[i, :] for i in range(K)]
+    x2 = [x2_ref[i, :] for i in range(K)]
+    y2 = [y2_ref[i, :] for i in range(K)]
+    inf2 = inf2_ref[0, :] != 0
+    X3, Y3, Z3 = _k_proj_madd(n_rows, n0, X1, Y1, Z1, x2, y2, inf2)
+    for i in range(K):
+        x3_ref[i, :] = X3[i]
+        y3_ref[i, :] = Y3[i]
+        z3_ref[i, :] = Z3[i]
+
+
+def _padd_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
+                 n_ref, n0_ref, x3_ref, y3_ref, z3_ref):
+    n_rows = [n_ref[i, :] for i in range(K)]
+    n0 = n0_ref[0, 0]
+    P1 = [[r[i, :] for i in range(K)] for r in (x1_ref, y1_ref, z1_ref)]
+    P2 = [[r[i, :] for i in range(K)] for r in (x2_ref, y2_ref, z2_ref)]
+    X3, Y3, Z3 = _k_proj_add(n_rows, n0, *P1, *P2)
+    for i in range(K):
+        x3_ref[i, :] = X3[i]
+        y3_ref[i, :] = Y3[i]
+        z3_ref[i, :] = Z3[i]
+
+
+def _pdbl_kernel(x1_ref, y1_ref, z1_ref, n_ref, n0_ref,
+                 x3_ref, y3_ref, z3_ref):
+    n_rows = [n_ref[i, :] for i in range(K)]
+    n0 = n0_ref[0, 0]
+    X = [x1_ref[i, :] for i in range(K)]
+    Y = [y1_ref[i, :] for i in range(K)]
+    Z = [z1_ref[i, :] for i in range(K)]
+    X3, Y3, Z3 = _k_proj_dbl(n_rows, n0, X, Y, Z)
+    for i in range(K):
+        x3_ref[i, :] = X3[i]
+        y3_ref[i, :] = Y3[i]
+        z3_ref[i, :] = Z3[i]
+
+
+@jax.jit
+def pmadd(P, A):
+    """Fused complete projective + affine addition (projective.proj_add_mixed
+    contract)."""
+    X1, Y1, Z1 = P
+    x2, y2, inf2 = A
+    batch_shape = X1.shape[1:]
+    flat = lambda c: c.reshape(K, -1)
+    n = flat(X1).shape[-1]
+    pad = (-n) % LANE_BLOCK
+    arrs = [flat(c) for c in (X1, Y1, Z1, x2, y2)]
+    m2 = inf2.reshape(1, -1).astype(jnp.uint32)
+    if pad:
+        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
+        m2 = jnp.pad(m2, ((0, 0), (0, pad)))
+    width = arrs[0].shape[-1]
+    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, LANE_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    ncol, n0, _one = _consts()
+    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
+    X3, Y3, Z3 = pl.pallas_call(
+        _pmadd_kernel,
+        out_shape=(shape, shape, shape),
+        grid=(width // LANE_BLOCK,),
+        in_specs=[data] * 5 + [mspec, cspec, n0spec],
+        out_specs=(data, data, data),
+        interpret=_interpret(),
+    )(*arrs, m2, ncol, n0)
+    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
+    return unflat(X3), unflat(Y3), unflat(Z3)
+
+
+@jax.jit
+def padd(P, Q):
+    """Fused complete projective + projective addition (projective.proj_add
+    contract)."""
+    batch_shape = P[0].shape[1:]
+    flat = lambda c: c.reshape(K, -1)
+    n = flat(P[0]).shape[-1]
+    pad = (-n) % LANE_BLOCK
+    arrs = [flat(c) for c in (*P, *jax.tree_util.tree_map(
+        lambda c: jnp.broadcast_to(c, P[0].shape), Q))]
+    if pad:
+        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
+    width = arrs[0].shape[-1]
+    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    ncol, n0, _one = _consts()
+    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
+    X3, Y3, Z3 = pl.pallas_call(
+        _padd_kernel,
+        out_shape=(shape, shape, shape),
+        grid=(width // LANE_BLOCK,),
+        in_specs=[data] * 6 + [cspec, n0spec],
+        out_specs=(data, data, data),
+        interpret=_interpret(),
+    )(*arrs, ncol, n0)
+    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
+    return unflat(X3), unflat(Y3), unflat(Z3)
+
+
+@jax.jit
+def pdbl(P):
+    """Fused complete projective doubling (projective.proj_double contract)."""
+    batch_shape = P[0].shape[1:]
+    flat = lambda c: c.reshape(K, -1)
+    n = flat(P[0]).shape[-1]
+    pad = (-n) % LANE_BLOCK
+    arrs = [flat(c) for c in P]
+    if pad:
+        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
+    width = arrs[0].shape[-1]
+    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    ncol, n0, _one = _consts()
+    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
+    X3, Y3, Z3 = pl.pallas_call(
+        _pdbl_kernel,
+        out_shape=(shape, shape, shape),
+        grid=(width // LANE_BLOCK,),
+        in_specs=[data] * 3 + [cspec, n0spec],
+        out_specs=(data, data, data),
+        interpret=_interpret(),
+    )(*arrs, ncol, n0)
     unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
     return unflat(X3), unflat(Y3), unflat(Z3)
 

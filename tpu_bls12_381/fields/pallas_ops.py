@@ -34,7 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .field import FieldSpec
 from .limbs import LIMB_BITS, LIMB_MASK
 
-LANE_BLOCK = 512  # elements per grid step; K*BN*4B*~5 buffers well under VMEM
+# Elements per grid step.  Swept on v5e: 2048 is best for both Fr and Fq.
+# On non-TPU backends the kernels run in interpret mode where per-lane cost
+# is pure overhead — keep blocks small so CI stays fast.
+LANE_BLOCK = 2048 if jax.default_backend() == "tpu" else 256
 MASK = LIMB_MASK  # python int: pallas kernels may not capture traced constants
 
 

@@ -29,6 +29,13 @@ of the curve:
 5. **Horner window combine** with w doublings per window
    (msm_kernels.cu:528-596 analog) under `lax.scan`.
 
+Accumulation runs in **homogeneous projective coordinates with the RCB16
+complete formulas** (curves/projective.py): one branch-free straight-line
+formula per add — no doubling fallback, no identity cmov chains — which
+is both ~40% fewer field muls than the reference's complete-Jacobian
+approach (point.cuh:803-915) and constant-time by construction.  Results
+convert to Jacobian at the public boundary.
+
 Everything is static-shape, branch-free, and batched over lanes; the same
 code instantiates G1 (Fq) and G2 (Fq2) via the field adapters.
 """
@@ -43,10 +50,22 @@ import jax.numpy as jnp
 
 from .. import constants
 from ..curves import points as pt
+from ..curves import projective as pj
 from ..curves.field_adapters import FQ_ADAPTER, FQ2_ADAPTER
 from ..fields import FR, ops
 
 tree_map = jax.tree_util.tree_map
+
+# Accumulation group ops: homogeneous projective with the RCB16 complete
+# formulas (curves/projective.py) — no doubling fallback, no edge-case
+# chains, ~40%% fewer field muls per add than the Jacobian cmov path.
+# Results convert back to Jacobian at the MSM boundary (public contract).
+g_identity = pj.proj_identity
+g_add = pj.proj_add_fast
+g_madd = pj.proj_add_mixed_fast
+g_cmov = pj.proj_cmov
+g_neg = pj.proj_neg
+g_double = pj.proj_double_fast
 
 FR_BITS = 255
 
@@ -121,14 +140,14 @@ def _shift_dyn(F, P, d, direction: str):
     mask so the op shape is independent of d (fori-loop friendly)."""
     L = jax.tree_util.tree_leaves(P[0])[0].shape[-1]
     idx = jnp.arange(L, dtype=jnp.int32)
-    ident = pt.jac_identity(F, F.batch_shape(P[0]))
+    ident = g_identity(F, F.batch_shape(P[0]))
     if direction == "right":  # element l takes value from l-d
         rolled = tree_map(lambda c: jnp.roll(c, d, axis=-1), P)
         mask = idx >= d
     else:  # element l takes value from l+d
         rolled = tree_map(lambda c: jnp.roll(c, -d, axis=-1), P)
         mask = idx < (L - d)
-    return pt.jac_cmov(F, mask, rolled, ident)
+    return g_cmov(F, mask, rolled, ident)
 
 
 def _scan_steps(L: int) -> int:
@@ -143,7 +162,7 @@ def _lane_prefix_exclusive(F, P):
 
     def body(i, acc):
         d = jnp.int32(1) << i
-        return pt.jac_add_fast(F, acc, _shift_dyn(F, acc, d, "right"))
+        return g_add(F, acc, _shift_dyn(F, acc, d, "right"))
 
     incl = jax.lax.fori_loop(0, _scan_steps(L), body, P)
     return _shift_dyn(F, incl, jnp.int32(1), "right")
@@ -154,7 +173,7 @@ def _lane_suffix_inclusive(F, P):
 
     def body(i, acc):
         d = jnp.int32(1) << i
-        return pt.jac_add_fast(F, acc, _shift_dyn(F, acc, d, "left"))
+        return g_add(F, acc, _shift_dyn(F, acc, d, "left"))
 
     return jax.lax.fori_loop(0, _scan_steps(L), body, P)
 
@@ -187,12 +206,12 @@ def _weighted_index_sum(F, P):
     S = _lane_suffix_inclusive(F, P)
     total_tail = _sum_last_axis(F, S)  # sum_k S_k  (k >= 0)
     S0 = tree_map(lambda c: c[..., 0], S)
-    return pt.jac_add_fast(F, total_tail, pt.jac_neg(F, S0)), S0
+    return g_add(F, total_tail, g_neg(F, S0)), S0
 
 
 def _double_n(F, P, times: int):
     def body(_, acc):
-        return pt.jac_double_fast(F, acc)
+        return g_double(F, acc)
 
     return jax.lax.fori_loop(0, times, body, P)
 
@@ -215,8 +234,12 @@ def _stage_sort_tile(F, key, R: int, L: int, x, y, yneg, sign, inf):
     column-major into scan rows.  No field arithmetic — compiles fast.
 
     Plays the role of CUB DeviceRadixSort + index packing
-    (msm_kernels.cu:763-781).
+    (msm_kernels.cu:763-781).  ``yneg`` is accepted for signature
+    stability but the negation is applied *after* the gather (one cheap
+    field negation instead of gathering a third coordinate array — the
+    gathers are this stage's dominant cost on TPU).
     """
+    del yneg
     n = inf.shape[-1]
     pad = R * L - n
     if pad:
@@ -226,9 +249,8 @@ def _stage_sort_tile(F, key, R: int, L: int, x, y, yneg, sign, inf):
     )
     gx = tree_map(lambda c: c[:, perm], x)
     gy = tree_map(lambda c: c[:, perm], y)
-    gyn = tree_map(lambda c: c[:, perm], yneg)
     gsign = sign[perm]
-    gy = F.cmov(gsign, gyn, gy)
+    gy = F.cmov(gsign, F.neg(gy), gy)
     ginf = inf[perm] | (key_sorted >= jnp.uint32(0xFFFF))
 
     # column-major tiles: flat index e = l*R + r -> [r, l]; rows first
@@ -250,11 +272,11 @@ def _stage_scan(F, x_rows, y_rows, inf_rows):
     Returns per-column inclusive prefix sums (R, .., L) and column totals.
     """
     L = inf_rows.shape[-1]
-    ident = pt.jac_identity(F, (L,))
+    ident = g_identity(F, (L,))
 
     def step(acc, row):
         rx, ry, rinf = row
-        acc = pt.jac_add_affine_fast(F, acc, (rx, ry, rinf))
+        acc = g_madd(F, acc, (rx, ry, rinf))
         return acc, acc
 
     col_total, prefix_rows = jax.lax.scan(step, ident, (x_rows, y_rows, inf_rows))
@@ -288,12 +310,12 @@ def _stage_boundary(F, key_sorted, col_carry, nb: int, prefix_rows):
     r_idx, l_idx = p % R, p // R
     part = _gather_jac_rows(prefix_rows, r_idx, l_idx)  # (K, 2*nb)
     carry = tree_map(lambda c: c[..., l_idx], col_carry)
-    S = pt.jac_add_fast(F, part, carry)
-    S = pt.jac_cmov(F, valid, S, pt.jac_identity(F, (2 * nb,)))
+    S = g_add(F, part, carry)
+    S = g_cmov(F, valid, S, g_identity(F, (2 * nb,)))
     S_hi = tree_map(lambda c: c[..., :nb], S)
     S_lo = tree_map(lambda c: c[..., nb:], S)
-    sums = pt.jac_add_fast(F, S_hi, pt.jac_neg(F, S_lo))
-    return pt.jac_cmov(F, cnt > 0, sums, pt.jac_identity(F, (nb,)))
+    sums = g_add(F, S_hi, g_neg(F, S_lo))
+    return g_cmov(F, cnt > 0, sums, g_identity(F, (nb,)))
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -313,7 +335,7 @@ def _stage_triangle_scans(F, buckets, nb: int):
     col_l = _sum_last_axis(F, ct)   # (K, Lb)
     row_sum = _sum_last_axis(F, tiled)  # (K, Rb)
     # pad rows to Lb lanes and batch both weighted sums in one pass
-    idR = pt.jac_identity(F, (Lb - Rb,)) if Lb > Rb else None
+    idR = g_identity(F, (Lb - Rb,)) if Lb > Rb else None
     if Lb > Rb:
         row_sum = tree_map(
             lambda c, i: jnp.concatenate([c, i], axis=-1), row_sum, idR
@@ -330,8 +352,8 @@ def _stage_triangle_scans(F, buckets, nb: int):
 def _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits: int):
     """W = 2^lb_bits * w_rows + w_cols + total (window triangle total)."""
     part = _double_n(F, w_rows, lb_bits)
-    out = pt.jac_add_fast(F, part, w_cols)
-    return pt.jac_add_fast(F, out, total)
+    out = g_add(F, part, w_cols)
+    return g_add(F, out, total)
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -342,7 +364,7 @@ def _stage_horner(F, Ws, w: int):
 
     def combine(acc, Wt):
         acc = _double_n(F, acc, w)
-        return pt.jac_add_fast(F, acc, Wt), 0
+        return g_add(F, acc, Wt), 0
 
     top = tree_map(lambda c: c[0], Ws_rev)
     rest = tree_map(lambda c: c[1:], Ws_rev)
@@ -353,6 +375,12 @@ def _stage_horner(F, Ws, w: int):
 @partial(jax.jit, static_argnums=0)
 def _stage_neg_y(F, y):
     return F.neg(y)
+
+
+@partial(jax.jit, static_argnums=0)
+def _stage_to_jac(F, P):
+    """Homogeneous projective accumulator -> Jacobian (public contract)."""
+    return pj.proj_to_jac(F, P)
 
 
 def msm(F, scalars, A, *, window_bits: int | None = None,
@@ -397,7 +425,7 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
             _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
         )
     Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
-    return _stage_horner(F, Ws, w)
+    return _stage_to_jac(F, _stage_horner(F, Ws, w))
 
 
 def msm_g1(scalars, A, **kw):
@@ -468,6 +496,7 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
     tri = mapf(lambda b: _stage_triangle_scans(F, b, nb))
     comb = mapf(lambda wr, wc, tt: _stage_triangle_combine(F, wr, wc, tt, lb_bits))
     horner = mapf(lambda ws: _stage_horner(F, ws, w))
+    to_jac = mapf(lambda p: pj.proj_to_jac(F, p))
 
     abs_d, signs, yneg = prelude_m(scalars_c, y)  # (D, T, nloc) digits
     window_sums = []
@@ -483,7 +512,7 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
         window_sums.append(comb(w_rows, w_cols, total))
     # (D, T, K..) so the mapped axis stays leading for pmap
     Ws = tree_map(lambda *cs: jnp.stack(cs, axis=1), *window_sums)
-    return horner(Ws)  # leaves (D, K..)
+    return to_jac(horner(Ws))  # Jacobian leaves (D, K..)
 
 
 # -----------------------------------------------------------------------------
@@ -533,7 +562,7 @@ def msm_traceable(F, scalars, A, *, window_bits: int | None = None,
         return 0, Wt
 
     _, Ws = jax.lax.scan(window, 0, (abs_d, signs))
-    return _stage_horner(F, Ws, w)
+    return pj.proj_to_jac(F, _stage_horner(F, Ws, w))
 
 
 # -----------------------------------------------------------------------------
@@ -565,10 +594,10 @@ def expand_bases(F, A, w: int, factor: int):
         return A
     span = precompute_window_span(w, factor) * w
     blocks = [A]
-    cur = pt.affine_to_jac(F, A)
+    cur = pj.affine_to_proj(F, A)
     for _ in range(factor - 1):
         cur = _double_n(F, cur, span)
-        blocks.append(pt.jac_to_affine(F, cur))
+        blocks.append(pj.proj_to_affine(F, cur))
     xs = tree_map(lambda *cs: jnp.concatenate(cs, axis=-1), *[b[0] for b in blocks])
     ys = tree_map(lambda *cs: jnp.concatenate(cs, axis=-1), *[b[1] for b in blocks])
     infs = jnp.concatenate([b[2] for b in blocks], axis=-1)
@@ -626,4 +655,4 @@ def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
             _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
         )
     Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
-    return _stage_horner(F, Ws, w)
+    return _stage_to_jac(F, _stage_horner(F, Ws, w))

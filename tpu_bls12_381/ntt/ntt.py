@@ -87,15 +87,44 @@ def _resolve(x, domain):
     return log_n, domain
 
 
+# Auto algorithm selection: the four-step path wins once the radix-2
+# ladder's per-stage HBM round trips dominate (threshold measured on v5e).
+_FOURSTEP_AUTO_MIN = 1 << 16
+
+
+def _route_fourstep(x, ordering: Ordering) -> bool:
+    from ..runtime.config import config
+
+    algo = config().ntt_algorithm
+    if algo == "radix2" or ordering is not Ordering.NN:
+        return False
+    from ..fields import fast
+    from .pallas_ntt import fourstep_supported
+
+    if not fourstep_supported(x):
+        return False
+    if algo == "fourstep":
+        return True
+    return fast.use_pallas() and x.shape[-1] >= _FOURSTEP_AUTO_MIN
+
+
 def ntt(x, ordering: Ordering = Ordering.NN, domain: Domain | None = None):
     """Forward NTT along the last axis. x: (K, ..., n) Montgomery Fr."""
     log_n, domain = _resolve(x, domain)
+    if _route_fourstep(x, ordering):
+        from .pallas_ntt import ntt_fourstep
+
+        return ntt_fourstep(x, inverse=False, domain=domain)
     return _ntt_core(x, log_n, False, ordering, domain.tw, domain.n_inv)
 
 
 def intt(x, ordering: Ordering = Ordering.NN, domain: Domain | None = None):
     """Inverse NTT along the last axis (includes the 1/n scale)."""
     log_n, domain = _resolve(x, domain)
+    if _route_fourstep(x, ordering):
+        from .pallas_ntt import ntt_fourstep
+
+        return ntt_fourstep(x, inverse=True, domain=domain)
     return _ntt_core(x, log_n, True, ordering, domain.itw, domain.n_inv)
 
 

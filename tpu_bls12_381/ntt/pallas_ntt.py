@@ -1,0 +1,300 @@
+"""Fused in-VMEM NTT tile kernel + single-chip Bailey four-step.
+
+The radix-2 ladder (ntt.py::_butterflies) streams the whole array
+HBM->VMEM->HBM once per stage — log2(n) round trips.  This module
+computes a full size-m NTT (all log2(m) stages) on a (K, BB, m) tile
+entirely inside VMEM, so a large NTT factored as n = nA * nB (Bailey
+four-step) costs just two VMEM-resident compute passes plus cheap
+transposes:
+
+    X[k2 + nB*k1] = sum_a w_n^(a*k2) w_nA^(a*k1)
+                    ( sum_b w_nB^(b*k2) x[a + nA*b] )
+
+The inter-NTT twiddle multiply (w_n^(a*k2)) and the inverse 1/n scale
+are folded into the tile kernels (zero extra passes).  This is the
+single-chip counterpart of parallel/ntt.py's sharded four-step (same
+bracket, transposes instead of all_to_alls), and the TPU analog of the
+reference's MixedRadix algorithm option (core/config.rs:168-212) and its
+fused multi-stage butterfly kernels (ntt_kernels.cu:498-574) taken to
+their limit: *every* stage fused into one kernel.
+
+Per-stage twiddles are prepacked host-side into one full-width (S, K, m)
+array (lane l of stage s holds w_{2^s}^(l mod 2^(s-1))) so the kernel
+only ever does static contiguous slicing, lane rolls, and masked selects
+— the op set Mosaic supports without relayouts.
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import FR, ops
+from ..fields.pallas_ops import _interpret, _k_add, _k_mont_mul, _k_sub
+from ..vecops import bit_reverse
+from .domain import Domain, get_domain, _powers_on_device
+from ..oracle import root_of_unity
+
+K = FR.num_limbs
+
+# VMEM budget: ~6 live (BB, m) copies of K limb planes during the ladder.
+# BB * m <= 2^14 keeps that under ~8 MB.
+_TILE_ELEMS = 1 << 14
+
+
+def _stage_twiddles(dom_tw, m: int):
+    """(K, m/2) twiddle table -> (S, K, m) full-width per-stage prepack.
+
+    The kernel's butterflies are lane-aligned (roll + masked select, no
+    shape casts — Mosaic cannot re-tile reshapes like (BB, m)->(BB, g, ms)).
+    Every lane l needs the twiddle w_{2^s}^(l mod 2^(s-1)) at stage s, so
+    each stage row carries a full m-lane table (host/NumPy prepack).
+    """
+    tw = np.asarray(dom_tw)  # (K, m/2), tw[:, j] = w_m^j
+    S = m.bit_length() - 1
+    out = np.zeros((S, K, m), dtype=np.uint32)
+    lanes = np.arange(m)
+    for s in range(1, S + 1):
+        half = 1 << (s - 1)
+        stride = m >> s
+        j = (lanes % half) * stride  # exponent of w_m per lane
+        out[s - 1] = tw[:, j]
+    return jnp.asarray(out)
+
+
+def _tile_block(m: int, b: int) -> int:
+    """Rows per grid step: VMEM-bounded, never more than the batch."""
+    return max(1, min(b, _TILE_ELEMS // m))
+
+
+def _ntt_tile_kernel_factory(m: int, BB: int, fold_w: bool, fold_scale: bool):
+    S = m.bit_length() - 1
+
+    def kernel(*refs):
+        i = 0
+        x_ref = refs[i]; i += 1
+        tw_ref = refs[i]; i += 1
+        w_ref = None
+        sc_ref = None
+        if fold_w:
+            w_ref = refs[i]; i += 1
+        if fold_scale:
+            sc_ref = refs[i]; i += 1
+        n_ref = refs[i]; i += 1
+        n0_ref = refs[i]; i += 1
+        o_ref = refs[i]
+
+        n_rows = [n_ref[k, :] for k in range(K)]  # (m,) broadcastable
+        n0 = n0_ref[0, 0]
+        xs = [x_ref[k, :, :] for k in range(K)]  # (BB, m) each
+
+        # lane-aligned DIT: at stage s, lane l pairs with l +- half; the
+        # "even" operand e and "odd" operand o come from static rolls and
+        # a low/high-half mask — no reshapes (Mosaic-friendly).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BB, m), 1)
+        for s in range(1, S + 1):
+            half = 1 << (s - 1)
+            lo_mask = (lane & half) == 0  # lane in low half of its group
+            w_s = [tw_ref[s - 1, k, :] for k in range(K)]  # (m,)
+            od = [
+                jnp.where(lo_mask, jnp.roll(x, -half, axis=-1), x)
+                for x in xs
+            ]
+            ev = [
+                jnp.where(lo_mask, x, jnp.roll(x, half, axis=-1))
+                for x in xs
+            ]
+            t = _k_mont_mul(K, od, [w[None, :] for w in w_s], n_rows, n0)
+            hi = _k_add(ev, t, n_rows)
+            lo = _k_sub(ev, t, n_rows)
+            xs = [jnp.where(lo_mask, h, l) for h, l in zip(hi, lo)]
+
+        if fold_w:
+            ws = [w_ref[k, :, :] for k in range(K)]
+            xs = _k_mont_mul(K, xs, ws, n_rows, n0)
+        if fold_scale:
+            # (m,) lanes, broadcast over sublanes only (Mosaic cannot
+            # broadcast in sublanes and lanes at once)
+            scb = [sc_ref[k, :][None, :] for k in range(K)]
+            xs = _k_mont_mul(K, xs, scb, n_rows, n0)
+        for k in range(K):
+            o_ref[k, :, :] = xs[k]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _ntt_tile_call(x, stage_tw, consts, meta, w=None, scale=None):
+    """x: (K, B, m) bit-reversed rows -> natural-order NTT rows.
+
+    Optionally folds an elementwise (K, B, m) multiply ``w`` and a global
+    scalar multiply ``scale`` (K,) after the ladder.
+    """
+    m, BB = meta
+    ncol, n0 = consts
+    Btot = x.shape[1]
+    grid = Btot // BB
+    data = pl.BlockSpec((K, BB, m), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    S = m.bit_length() - 1
+    twspec = pl.BlockSpec((S, K, m), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((K, m), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    scspec = pl.BlockSpec((K, m), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    fold_w = w is not None
+    fold_scale = scale is not None
+    kernel = _ntt_tile_kernel_factory(m, BB, fold_w, fold_scale)
+    in_specs = [data, twspec]
+    args = [x, stage_tw]
+    if fold_w:
+        in_specs.append(data)
+        args.append(w)
+    if fold_scale:
+        in_specs.append(scspec)
+        args.append(jnp.broadcast_to(scale.reshape(K, 1), (K, m)))
+    in_specs += [nspec, n0spec]
+    args += [ncol, n0]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=data,
+        interpret=_interpret(),
+    )(*args)
+
+
+# -----------------------------------------------------------------------------
+# Caches: per-(m) consts + stage twiddles, per-(log_n, dir) four-step W table.
+# -----------------------------------------------------------------------------
+
+_PREP_CACHE: dict = {}
+_W_CACHE: dict = {}
+_LOCK = threading.Lock()
+
+
+def _consts_for(m: int):
+    key = ("consts", m)
+    with _LOCK:
+        got = _PREP_CACHE.get(key)
+    if got is None:
+        ncol = jnp.asarray(
+            np.broadcast_to(FR.modulus_limbs.astype(np.uint32)[:, None], (K, m))
+        )
+        n0 = jnp.full((1, 1), FR.n0_inv, dtype=jnp.uint32)
+        got = (ncol, n0)
+        with _LOCK:
+            _PREP_CACHE[key] = got
+    return got
+
+
+def _stage_tw_for(log_m: int, inverse: bool):
+    key = ("stw", log_m, inverse)
+    with _LOCK:
+        got = _PREP_CACHE.get(key)
+    if got is None:
+        dom = get_domain(log_m)
+        got = _stage_twiddles(dom.itw if inverse else dom.tw, 1 << log_m)
+        with _LOCK:
+            _PREP_CACHE[key] = got
+    return got
+
+
+def _step_w(log_n: int, nA: int, nB: int, inverse: bool):
+    """W[a, k2] = w_n^(+-a*k2), (K, nA, nB) Montgomery, built on device."""
+    key = (log_n, nA, inverse)
+    with _LOCK:
+        got = _W_CACHE.get(key)
+    if got is not None:
+        return got
+    w = root_of_unity(log_n)
+    if inverse:
+        w = pow(w, FR.modulus - 2, FR.modulus)
+    row_base = _powers_on_device(w, nA)  # (K, nA) = w^a
+
+    @jax.jit
+    def build(rb):
+        cur = rb
+        Pm = ops.one_mont(FR, (nA, 1))
+        total = 1
+        while total < nB:
+            grow = ops.mont_mul(FR, Pm, cur[:, :, None])
+            Pm = jnp.concatenate([Pm, grow], axis=-1)
+            cur = ops.mont_sqr(FR, cur)
+            total *= 2
+        return Pm[:, :, :nB]
+
+    W = build(row_base)
+    with _LOCK:
+        _W_CACHE[key] = W
+    return W
+
+
+def release_fourstep_cache() -> None:
+    with _LOCK:
+        _PREP_CACHE.clear()
+        _W_CACHE.clear()
+
+
+# -----------------------------------------------------------------------------
+# Single-chip four-step NTT
+# -----------------------------------------------------------------------------
+
+
+def fourstep_supported(x) -> bool:
+    """Four-step path handles (K, n) arrays with n a power of four-ish
+    (both factors >= 2 lanes) on the Pallas backends."""
+    if x.ndim != 2:
+        return False
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    return (1 << log_n) == n and log_n >= 10
+
+
+def ntt_fourstep(x, inverse: bool = False, domain: Domain | None = None):
+    """(K, n) Montgomery Fr -> NTT along the last axis, natural in/out.
+
+    Factors n = nA * nB and runs two fused tile-NTT passes with the
+    inter-step twiddle multiply folded into the first and the 1/n scale
+    (inverse) folded into the second.
+    """
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    if 1 << log_n != n:
+        raise ValueError("NTT size must be a power of two")
+    la = log_n // 2
+    nA, nB = 1 << la, n >> la
+    log_nA, log_nB = la, log_n - la
+
+    dom_n = domain or get_domain(log_n)
+
+    # M[a, b] = x[a + nA*b]: (K, nB, nA) reshape then transpose
+    M = x.reshape(K, nB, nA).swapaxes(-1, -2)  # (K, nA, nB)
+
+    # inner NTT over b (length nB), with W[a, k2] folded in
+    W = _step_w(log_n, nA, nB, inverse)
+    Mr = bit_reverse(M, axis=-1)
+    M = _ntt_tile_call(
+        Mr, _stage_tw_for(log_nB, inverse), _consts_for(nB),
+        (nB, _tile_block(nB, nA)), w=W,
+    )
+
+    # outer NTT over a (length nA), 1/n scale folded for the inverse
+    M2 = M.swapaxes(-1, -2)  # (K, nB, nA)
+    M2r = bit_reverse(M2, axis=-1)
+    scale = dom_n.n_inv if inverse else None
+    M2 = _ntt_tile_call(
+        M2r, _stage_tw_for(log_nA, inverse), _consts_for(nA),
+        (nA, _tile_block(nA, nB)), scale=scale,
+    )
+
+    # M2[k2, k1] = X[k2 + nB*k1]; natural order = transpose + flatten
+    return M2.swapaxes(-1, -2).reshape(K, n)

@@ -14,6 +14,10 @@ carry over (core/config.rs:52-363):
   MIDNIGHT_TPU_PRECOMPUTE  base precompute factor 1..8, default 1
   MIDNIGHT_MSM_WINDOW      fixed MSM window bits (else auto table)
   MIDNIGHT_NTT_ORDERING    NN | NR | RN | RR, default NN
+  MIDNIGHT_NTT_ALGORITHM   auto | radix2 | fourstep, default auto
+                           (reference: Auto|Radix2|MixedRadix,
+                           core/config.rs:168-212; fourstep is the TPU
+                           mixed-radix analog — ntt/pallas_ntt.py)
   MIDNIGHT_SHARDING        auto | none | <int #devices>, default auto
   MIDNIGHT_TRACE           comma list: msm,ntt,vecops,all (timing spans)
 """
@@ -59,6 +63,7 @@ class Config:
     precompute_factor: int
     msm_window: int | None
     ntt_ordering: str
+    ntt_algorithm: str
     sharding: str
     trace: frozenset = field(default_factory=frozenset)
 
@@ -83,6 +88,10 @@ class Config:
                                        aliases=("MIDNIGHT_GPU_PRECOMPUTE",)),
             msm_window=window or None,
             ntt_ordering=os.environ.get("MIDNIGHT_NTT_ORDERING", "NN").upper(),
+            ntt_algorithm={"mixedradix": "fourstep"}.get(
+                os.environ.get("MIDNIGHT_NTT_ALGORITHM", "auto").lower(),
+                os.environ.get("MIDNIGHT_NTT_ALGORITHM", "auto").lower(),
+            ),
             sharding=os.environ.get("MIDNIGHT_SHARDING", "auto").lower(),
             trace=trace,
         )
