@@ -386,6 +386,68 @@ def _pmadd_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, inf2_ref,
         z3_ref[i, :] = Z3[i]
 
 
+def _pmadd_signed_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, inf2_ref,
+                         sign_ref, n_ref, n0_ref, x3_ref, y3_ref, z3_ref):
+    """pmadd with the digit-sign negation of y2 folded in (MSM scan hot
+    loop: saves the separate neg+select HBM passes)."""
+    n_rows = [n_ref[i, :] for i in range(K)]
+    n0 = n0_ref[0, 0]
+    X1 = [x1_ref[i, :] for i in range(K)]
+    Y1 = [y1_ref[i, :] for i in range(K)]
+    Z1 = [z1_ref[i, :] for i in range(K)]
+    x2 = [x2_ref[i, :] for i in range(K)]
+    y2 = [y2_ref[i, :] for i in range(K)]
+    inf2 = inf2_ref[0, :] != 0
+    sign = sign_ref[0, :] != 0
+    zero = [jnp.zeros_like(y) for y in y2]
+    y2n = _k_sub(zero, y2, n_rows)  # 0 - y = p - y (0 stays 0)
+    y2 = _k_cmov(sign, y2n, y2)
+    X3, Y3, Z3 = _k_proj_madd(n_rows, n0, X1, Y1, Z1, x2, y2, inf2)
+    for i in range(K):
+        x3_ref[i, :] = X3[i]
+        y3_ref[i, :] = Y3[i]
+        z3_ref[i, :] = Z3[i]
+
+
+@jax.jit
+def pmadd_signed(P, A, sign):
+    """Fused projective + (+-affine) addition: adds A where sign is False,
+    -A where True (projective.proj_add_mixed_signed_fast contract)."""
+    X1, Y1, Z1 = P
+    x2, y2, inf2 = A
+    batch_shape = X1.shape[1:]
+    flat = lambda c: c.reshape(K, -1)
+    n = flat(X1).shape[-1]
+    pad = (-n) % LANE_BLOCK
+    arrs = [flat(c) for c in (X1, Y1, Z1, x2, y2)]
+    m2 = inf2.reshape(1, -1).astype(jnp.uint32)
+    sg = sign.reshape(1, -1).astype(jnp.uint32)
+    if pad:
+        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
+        m2 = jnp.pad(m2, ((0, 0), (0, pad)))
+        sg = jnp.pad(sg, ((0, 0), (0, pad)))
+    width = arrs[0].shape[-1]
+    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, LANE_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    ncol, n0, _one = _consts()
+    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
+    X3, Y3, Z3 = pl.pallas_call(
+        _pmadd_signed_kernel,
+        out_shape=(shape, shape, shape),
+        grid=(width // LANE_BLOCK,),
+        in_specs=[data] * 5 + [mspec, mspec, cspec, n0spec],
+        out_specs=(data, data, data),
+        interpret=_interpret(),
+    )(*arrs, m2, sg, ncol, n0)
+    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
+    return unflat(X3), unflat(Y3), unflat(Z3)
+
+
 def _padd_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
                  n_ref, n0_ref, x3_ref, y3_ref, z3_ref):
     n_rows = [n_ref[i, :] for i in range(K)]

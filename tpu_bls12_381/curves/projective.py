@@ -242,6 +242,18 @@ def proj_add_mixed_fast(F, P, A):
     return proj_add_mixed(F, P, A)
 
 
+def proj_add_mixed_signed_fast(F, P, A, sign):
+    """proj_add_mixed with a per-lane conditional negation of A's y folded
+    in (sign=True adds -A).  The fused kernel negates in VMEM, saving the
+    two HBM passes a separate neg+select costs at MSM scale."""
+    if pt._fq_fused(F):
+        from .pallas_g1 import pmadd_signed
+
+        return pmadd_signed(P, A, sign)
+    x2, y2, inf2 = A
+    return proj_add_mixed(F, P, (x2, F.cmov(sign, F.neg(y2), y2), inf2))
+
+
 def proj_double_fast(F, P):
     if pt._fq_fused(F):
         from .pallas_g1 import pdbl

@@ -63,6 +63,7 @@ tree_map = jax.tree_util.tree_map
 g_identity = pj.proj_identity
 g_add = pj.proj_add_fast
 g_madd = pj.proj_add_mixed_fast
+g_madd_signed = pj.proj_add_mixed_signed_fast
 g_cmov = pj.proj_cmov
 g_neg = pj.proj_neg
 g_double = pj.proj_double_fast
@@ -230,14 +231,20 @@ def _double_n(F, P, times: int):
 
 @partial(jax.jit, static_argnums=(0, 2, 3))
 def _stage_sort_tile(F, key, R: int, L: int, x, y, yneg, sign, inf):
-    """Sort by bucket key, gather coordinates, apply digit signs, and tile
-    column-major into scan rows.  No field arithmetic — compiles fast.
+    """Sort by bucket key, gather coordinates, and tile column-major into
+    scan rows.  No field arithmetic — compiles fast.
 
     Plays the role of CUB DeviceRadixSort + index packing
-    (msm_kernels.cu:763-781).  ``yneg`` is accepted for signature
-    stability but the negation is applied *after* the gather (one cheap
-    field negation instead of gathering a third coordinate array — the
-    gathers are this stage's dominant cost on TPU).
+    (msm_kernels.cu:763-781).  Two cost-driven asymmetries vs the naive
+    formulation (this stage dominates the MSM wall clock at 2^20):
+    * the column-major tiling permutation is COMPOSED into the gather
+      index, so the big coordinate arrays move through HBM exactly once
+      (a separate (L, R) transpose is an element-granularity shuffle of
+      ~200 MB per window);
+    * digit signs are NOT applied here — they ride along as a (R, L)
+      bool plane and the scan kernel negates y in VMEM
+      (pmadd_signed), saving two more full passes.
+    ``yneg`` is accepted for signature stability and unused.
     """
     del yneg
     n = inf.shape[-1]
@@ -247,27 +254,26 @@ def _stage_sort_tile(F, key, R: int, L: int, x, y, yneg, sign, inf):
     key_sorted, perm = jax.lax.sort_key_val(
         key, (jnp.arange(R * L, dtype=jnp.uint32) % jnp.uint32(n))
     )
-    gx = tree_map(lambda c: c[:, perm], x)
-    gy = tree_map(lambda c: c[:, perm], y)
-    gsign = sign[perm]
-    gy = F.cmov(gsign, F.neg(gy), gy)
-    ginf = inf[perm] | (key_sorted >= jnp.uint32(0xFFFF))
+    # tile[r, l] = sorted[l*R + r]; compose into the gather (tiny u32 ops)
+    tile_u32 = lambda a: a.reshape(L, R).swapaxes(-1, -2)
+    gidx = tile_u32(perm).reshape(-1)  # (R*L,)
+    ks_rows = tile_u32(key_sorted)     # (R, L)
 
-    # column-major tiles: flat index e = l*R + r -> [r, l]; rows first
-    def tile_rows(c):
-        t = c.reshape(c.shape[:-1] + (L, R)).swapaxes(-1, -2)
-        return jnp.moveaxis(t, -2, 0)
+    def gather_rows(c):  # (K, n) -> (R, K, L), one pass over HBM
+        return jnp.moveaxis(c[:, gidx].reshape(c.shape[:-1] + (R, L)), -2, 0)
 
-    x_rows = tree_map(tile_rows, gx)
-    y_rows = tree_map(tile_rows, gy)
-    inf_rows = jnp.moveaxis(ginf.reshape(L, R).swapaxes(-1, -2), -2, 0)
-    return key_sorted, x_rows, y_rows, inf_rows
+    x_rows = tree_map(gather_rows, x)
+    y_rows = tree_map(gather_rows, y)
+    sign_rows = sign[gidx].reshape(R, L)
+    inf_rows = inf[gidx].reshape(R, L) | (ks_rows >= jnp.uint32(0xFFFF))
+    return key_sorted, x_rows, y_rows, sign_rows, inf_rows
 
 
 @partial(jax.jit, static_argnums=0)
-def _stage_scan(F, x_rows, y_rows, inf_rows):
-    """Row scan of mixed adds — the hot loop (total work = N mixed adds,
-    the analog of the bucket-accumulation kernels, msm_kernels.cu:268-366).
+def _stage_scan(F, x_rows, y_rows, sign_rows, inf_rows):
+    """Row scan of signed mixed adds — the hot loop (total work = N mixed
+    adds, the analog of the bucket-accumulation kernels,
+    msm_kernels.cu:268-366).
 
     Returns per-column inclusive prefix sums (R, .., L) and column totals.
     """
@@ -275,11 +281,12 @@ def _stage_scan(F, x_rows, y_rows, inf_rows):
     ident = g_identity(F, (L,))
 
     def step(acc, row):
-        rx, ry, rinf = row
-        acc = g_madd(F, acc, (rx, ry, rinf))
+        rx, ry, rsign, rinf = row
+        acc = g_madd_signed(F, acc, (rx, ry, rinf), rsign)
         return acc, acc
 
-    col_total, prefix_rows = jax.lax.scan(step, ident, (x_rows, y_rows, inf_rows))
+    col_total, prefix_rows = jax.lax.scan(
+        step, ident, (x_rows, y_rows, sign_rows, inf_rows))
     return col_total, prefix_rows
 
 
@@ -408,16 +415,16 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
     abs_d, signs = decompose_signed_digits(scalars, w)  # (T, N)
     T = int(abs_d.shape[0])
     sent = jnp.uint32(nb + 1)
-    yneg = _stage_neg_y(F, y)
 
     window_sums = []
     for t in range(T):
         digit = abs_d[t]
         key = jnp.where(digit == 0, sent, digit)
-        key_sorted, x_rows, y_rows, inf_rows = _stage_sort_tile(
-            F, key, R, L, x, y, yneg, signs[t], inf
+        key_sorted, x_rows, y_rows, sign_rows, inf_rows = _stage_sort_tile(
+            F, key, R, L, x, y, None, signs[t], inf
         )
-        col_total, prefix_rows = _stage_scan(F, x_rows, y_rows, inf_rows)
+        col_total, prefix_rows = _stage_scan(
+            F, x_rows, y_rows, sign_rows, inf_rows)
         col_carry = _stage_stitch(F, col_total)
         buckets = _stage_boundary(F, key_sorted, col_carry, nb, prefix_rows)
         w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
@@ -479,18 +486,17 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
     else:
         mapf = partial(jax.vmap, in_axes=0)
 
-    def prelude(sc_c, yy):
-        """Per-chunk: scalar form conversion + digit split + negated y."""
+    def prelude(sc_c):
+        """Per-chunk: scalar form conversion + digit split."""
         sc = sc_c  # (16, nloc) limbs-first within the chunk
         if scalars_montgomery:
             sc = ops.from_mont(FR, sc)
-        abs_d, signs = decompose_signed_digits(sc, w)  # (T, nloc)
-        return abs_d, signs, _stage_neg_y(F, yy)
+        return decompose_signed_digits(sc, w)  # (T, nloc)
 
     prelude_m = mapf(prelude)
-    sort_tile = mapf(lambda k, xx, yy, yn, sg, ii: _stage_sort_tile(
-        F, k, R, L, xx, yy, yn, sg, ii))
-    scan_s = mapf(lambda xr, yr, ir: _stage_scan(F, xr, yr, ir))
+    sort_tile = mapf(lambda k, xx, yy, sg, ii: _stage_sort_tile(
+        F, k, R, L, xx, yy, None, sg, ii))
+    scan_s = mapf(lambda xr, yr, sr, ir: _stage_scan(F, xr, yr, sr, ir))
     stitch = mapf(lambda ct: _stage_stitch(F, ct))
     boundary = mapf(lambda ks, cc, pr: _stage_boundary(F, ks, cc, nb, pr))
     tri = mapf(lambda b: _stage_triangle_scans(F, b, nb))
@@ -498,14 +504,14 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
     horner = mapf(lambda ws: _stage_horner(F, ws, w))
     to_jac = mapf(lambda p: pj.proj_to_jac(F, p))
 
-    abs_d, signs, yneg = prelude_m(scalars_c, y)  # (D, T, nloc) digits
+    abs_d, signs = prelude_m(scalars_c)  # (D, T, nloc) digits
     window_sums = []
     for t in range(T):
         digit = abs_d[:, t]  # (D, nloc)
         key = jnp.where(digit == 0, jnp.uint32(sent_v), digit)
-        key_sorted, x_rows, y_rows, inf_rows = sort_tile(
-            key, x, y, yneg, signs[:, t], inf)
-        col_total, prefix_rows = scan_s(x_rows, y_rows, inf_rows)
+        key_sorted, x_rows, y_rows, sign_rows, inf_rows = sort_tile(
+            key, x, y, signs[:, t], inf)
+        col_total, prefix_rows = scan_s(x_rows, y_rows, sign_rows, inf_rows)
         col_carry = stitch(col_total)
         buckets = boundary(key_sorted, col_carry, prefix_rows)
         w_rows, w_cols, total = tri(buckets)
@@ -546,15 +552,15 @@ def msm_traceable(F, scalars, A, *, window_bits: int | None = None,
 
     abs_d, signs = decompose_signed_digits(scalars, w)  # (T, N)
     sent = jnp.uint32(nb + 1)
-    yneg = F.neg(y)
 
     def window(_, ds):
         digit, sign = ds
         key = jnp.where(digit == 0, sent, digit)
-        key_sorted, x_rows, y_rows, inf_rows = _stage_sort_tile(
-            F, key, R, L, x, y, yneg, sign, inf
+        key_sorted, x_rows, y_rows, sign_rows, inf_rows = _stage_sort_tile(
+            F, key, R, L, x, y, None, sign, inf
         )
-        col_total, prefix_rows = _stage_scan(F, x_rows, y_rows, inf_rows)
+        col_total, prefix_rows = _stage_scan(
+            F, x_rows, y_rows, sign_rows, inf_rows)
         col_carry = _stage_stitch(F, col_total)
         buckets = _stage_boundary(F, key_sorted, col_carry, nb, prefix_rows)
         w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
@@ -638,16 +644,16 @@ def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
 
     abs_d, signs = _digits_for_precompute(scalars, w, factor)
     sent = jnp.uint32(nb + 1)
-    yneg = _stage_neg_y(F, y)
 
     window_sums = []
     for t in range(abs_d.shape[0]):
         digit = abs_d[t]
         key = jnp.where(digit == 0, sent, digit)
-        key_sorted, x_rows, y_rows, inf_rows = _stage_sort_tile(
-            F, key, R, L, x, y, yneg, signs[t], inf
+        key_sorted, x_rows, y_rows, sign_rows, inf_rows = _stage_sort_tile(
+            F, key, R, L, x, y, None, signs[t], inf
         )
-        col_total, prefix_rows = _stage_scan(F, x_rows, y_rows, inf_rows)
+        col_total, prefix_rows = _stage_scan(
+            F, x_rows, y_rows, sign_rows, inf_rows)
         col_carry = _stage_stitch(F, col_total)
         buckets = _stage_boundary(F, key_sorted, col_carry, nb, prefix_rows)
         w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
