@@ -99,12 +99,15 @@ def lane_tile_for(n: int) -> int:
     return 1 << int(np.clip((ln + 8) // 2, 3, 14))
 
 
+@partial(jax.jit, static_argnums=1)
 def decompose_signed_digits(scalars_std, w: int):
     """Standard-form Fr scalars (16, N) -> (T, N) |digit| and sign arrays.
 
     T = ceil(255 / w) + 1 (the +1 absorbs the final carry).  Digits are in
     [-(2^(w-1)-1), 2^(w-1)]; returns (abs_digit uint32, sign bool).
     Mirrors the signed-digit-with-carry scheme of msm_kernels.cu:68-213.
+    Jitted: unfused, the ~20 elementwise passes per window cost more HBM
+    round trips than every other stage combined at 2^20.
     """
     num_windows = -(-FR_BITS // w) + 1
     K = scalars_std.shape[0]
