@@ -153,3 +153,29 @@ def test_fused_kernels_bit_exact():  # pragma: no cover - TPU-only
     assert eq3(pmadd(I, B), pj.proj_add_mixed(F, I, B))
     assert eq3(pmadd(P, A), pj.proj_add_mixed(F, P, A))
     assert eq3(padd(P, pj.proj_neg(F, P)), pj.proj_add(F, P, pj.proj_neg(F, P)))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused kernels are TPU-only")
+def test_fused_g2_kernels_bit_exact():  # pragma: no cover - TPU-only
+    from tpu_bls12_381.curves.pallas_g2 import padd2, pdbl2, pmadd2
+
+    rng = random.Random(0xB15)
+    F = FQ2_ADAPTER
+    pts = _g2_points(rng, 3) + [None]
+    A = g2.affine_from_ints(pts)
+    B = g2.affine_from_ints(pts[1:] + pts[:1])
+    P = pj.affine_to_proj(F, A)
+    Q = pj.affine_to_proj(F, B)
+    flat = jax.tree_util.tree_leaves
+    eq = lambda X, Y: all(
+        bool(jnp.array_equal(a, b)) for a, b in zip(flat(X), flat(Y))
+    )
+    assert eq(pmadd2(P, B), pj.proj_add_mixed(F, P, B))
+    assert eq(padd2(P, Q), pj.proj_add(F, P, Q))
+    assert eq(pdbl2(P), pj.proj_double(F, P))
+    sign = jnp.asarray([False, True, True, False])
+    x2, y2, inf2 = B
+    want = pj.proj_add_mixed(F, P, (x2, F.cmov(sign, F.neg(y2), y2), inf2))
+    assert eq(pmadd2(P, B, sign), want)
+    assert eq(pmadd2(P, A), pj.proj_add_mixed(F, P, A))

@@ -226,11 +226,22 @@ def proj_eq(F, P, Q):
 # -----------------------------------------------------------------------------
 
 
+def _fq2_fused(F) -> bool:
+    """True when the fused Fq2 G2 kernels should serve this adapter."""
+    from ..fields import fast
+
+    return F is FQ2_ADAPTER and fast.use_pallas()
+
+
 def proj_add_fast(F, P, Q):
     if pt._fq_fused(F):
         from .pallas_g1 import padd
 
         return padd(P, Q)
+    if _fq2_fused(F):
+        from .pallas_g2 import padd2
+
+        return padd2(P, Q)
     return proj_add(F, P, Q)
 
 
@@ -239,6 +250,10 @@ def proj_add_mixed_fast(F, P, A):
         from .pallas_g1 import pmadd
 
         return pmadd(P, A)
+    if _fq2_fused(F):
+        from .pallas_g2 import pmadd2
+
+        return pmadd2(P, A)
     return proj_add_mixed(F, P, A)
 
 
@@ -250,6 +265,10 @@ def proj_add_mixed_signed_fast(F, P, A, sign):
         from .pallas_g1 import pmadd_signed
 
         return pmadd_signed(P, A, sign)
+    if _fq2_fused(F):
+        from .pallas_g2 import pmadd2
+
+        return pmadd2(P, A, sign)
     x2, y2, inf2 = A
     return proj_add_mixed(F, P, (x2, F.cmov(sign, F.neg(y2), y2), inf2))
 
@@ -259,4 +278,8 @@ def proj_double_fast(F, P):
         from .pallas_g1 import pdbl
 
         return pdbl(P)
+    if _fq2_fused(F):
+        from .pallas_g2 import pdbl2
+
+        return pdbl2(P)
     return proj_double(F, P)
