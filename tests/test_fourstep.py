@@ -44,6 +44,23 @@ def test_fourstep_matches_ladder(log_n, inverse):  # pragma: no cover - TPU
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("inverse", [False, True])
+def test_fourstep_batched_matches_ladder(inverse):  # pragma: no cover - TPU
+    from tpu_bls12_381.ntt.pallas_ntt import ntt_fourstep
+
+    log_n, B = 10, 4
+    dom = get_domain(log_n)
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 1 << 16, size=(FR.num_limbs, B, 1 << log_n),
+                     dtype=np.uint64)
+    v[-1] = 0
+    x = jnp.asarray(v).astype(jnp.uint32)
+    got = ntt_fourstep(x, inverse=inverse, domain=dom)
+    tw = dom.itw if inverse else dom.tw
+    want = _ntt_core(x, log_n, inverse, Ordering.NN, tw, dom.n_inv)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_fourstep_roundtrip():  # pragma: no cover - TPU
     from tpu_bls12_381.ntt.pallas_ntt import ntt_fourstep
 

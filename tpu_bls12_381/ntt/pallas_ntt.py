@@ -133,8 +133,12 @@ def _ntt_tile_kernel_factory(m: int, BB: int, fold_w: bool, fold_scale: bool):
 def _ntt_tile_call(x, stage_tw, consts, meta, w=None, scale=None):
     """x: (K, B, m) bit-reversed rows -> natural-order NTT rows.
 
-    Optionally folds an elementwise (K, B, m) multiply ``w`` and a global
-    scalar multiply ``scale`` (K,) after the ladder.
+    Optionally folds an elementwise multiply ``w`` and a global scalar
+    multiply ``scale`` (K,) after the ladder.  ``w`` may cover fewer rows
+    than x (shape (K, Bw, m) with B a multiple of Bw): its row blocks are
+    re-served periodically — how a (nA, nB) four-step twiddle table
+    applies to batched inputs laid out as (batch * nA) rows without
+    materializing batch copies.
     """
     m, BB = meta
     ncol, n0 = consts
@@ -155,7 +159,10 @@ def _ntt_tile_call(x, stage_tw, consts, meta, w=None, scale=None):
     in_specs = [data, twspec]
     args = [x, stage_tw]
     if fold_w:
-        in_specs.append(data)
+        wblocks = w.shape[1] // BB  # W row-blocks per period
+        wspec = pl.BlockSpec((K, BB, m), lambda i: (0, i % wblocks, 0),
+                             memory_space=pltpu.VMEM)
+        in_specs.append(wspec)
         args.append(w)
     if fold_scale:
         in_specs.append(scspec)
@@ -252,7 +259,7 @@ def release_fourstep_cache() -> None:
 def fourstep_supported(x) -> bool:
     """Four-step path handles (K, n) arrays with n a power of four-ish
     (both factors >= 2 lanes) on the Pallas backends."""
-    if x.ndim != 2:
+    if x.ndim < 2:
         return False
     n = x.shape[-1]
     log_n = n.bit_length() - 1
@@ -260,41 +267,50 @@ def fourstep_supported(x) -> bool:
 
 
 def ntt_fourstep(x, inverse: bool = False, domain: Domain | None = None):
-    """(K, n) Montgomery Fr -> NTT along the last axis, natural in/out.
+    """(K, ..., n) Montgomery Fr -> NTT along the last axis, natural in/out.
 
     Factors n = nA * nB and runs two fused tile-NTT passes with the
     inter-step twiddle multiply folded into the first and the 1/n scale
-    (inverse) folded into the second.
+    (inverse) folded into the second.  Leading axes are batched: rows are
+    laid out (batch * nA) and the W table is re-served periodically by
+    the tile call (ntt_kernels.cu:968-1133's batched dispatch analog).
     """
     n = x.shape[-1]
     log_n = n.bit_length() - 1
     if 1 << log_n != n:
         raise ValueError("NTT size must be a power of two")
+    lead = x.shape[1:-1]
+    B = 1
+    for d in lead:
+        B *= d
     la = log_n // 2
     nA, nB = 1 << la, n >> la
     log_nA, log_nB = la, log_n - la
 
     dom_n = domain or get_domain(log_n)
 
-    # M[a, b] = x[a + nA*b]: (K, nB, nA) reshape then transpose
-    M = x.reshape(K, nB, nA).swapaxes(-1, -2)  # (K, nA, nB)
+    # per batch row: M[a, b] = x[a + nA*b]
+    M = x.reshape(K, B, nB, nA).swapaxes(-1, -2)  # (K, B, nA, nB)
 
-    # inner NTT over b (length nB), with W[a, k2] folded in
+    # inner NTT over b (length nB), with W[a, k2] folded in; BB must
+    # divide nA so each grid block sees a single W period slice
+    BB1 = _tile_block(nB, nA)
     W = _step_w(log_n, nA, nB, inverse)
-    Mr = bit_reverse(M, axis=-1)
+    Mr = bit_reverse(M.reshape(K, B * nA, nB), axis=-1)
     M = _ntt_tile_call(
         Mr, _stage_tw_for(log_nB, inverse), _consts_for(nB),
-        (nB, _tile_block(nB, nA)), w=W,
+        (nB, BB1), w=W,
     )
 
     # outer NTT over a (length nA), 1/n scale folded for the inverse
-    M2 = M.swapaxes(-1, -2)  # (K, nB, nA)
-    M2r = bit_reverse(M2, axis=-1)
+    M2 = M.reshape(K, B, nA, nB).swapaxes(-1, -2)  # (K, B, nB, nA)
+    M2r = bit_reverse(M2.reshape(K, B * nB, nA), axis=-1)
     scale = dom_n.n_inv if inverse else None
     M2 = _ntt_tile_call(
         M2r, _stage_tw_for(log_nA, inverse), _consts_for(nA),
         (nA, _tile_block(nA, nB)), scale=scale,
     )
 
-    # M2[k2, k1] = X[k2 + nB*k1]; natural order = transpose + flatten
-    return M2.swapaxes(-1, -2).reshape(K, n)
+    # rows hold OUT[k2 + nB*k1]: transpose back to natural per batch row
+    out = M2.reshape(K, B, nB, nA).swapaxes(-1, -2)
+    return out.reshape((K,) + lead + (n,))
