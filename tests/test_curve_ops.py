@@ -156,3 +156,37 @@ def test_sum_reduce_g1(rng):
         acc = oracle.jac_add(acc, oracle.affine_to_jac(p, oracle.FQ_OPS), oracle.FQ_OPS)
     want = [oracle.jac_to_affine(acc, oracle.FQ_OPS)]
     assert got == want
+
+
+def test_subgroup_membership(rng):
+    """[r]P == O check (reference leaves this TODO, point.cuh:403-448)."""
+    from tpu_bls12_381 import constants, oracle
+    from tpu_bls12_381.curves import g1
+    from tpu_bls12_381.curves.field_adapters import FQ_ADAPTER
+    from tpu_bls12_381.curves.points import is_in_subgroup
+
+    import jax.numpy as jnp
+
+    P_MOD = constants.FQ_MODULUS
+    R = constants.FR_MODULUS
+    G = oracle.g1_generator()
+    members = [
+        oracle.jac_to_affine(
+            oracle.scalar_mul(rng.randrange(1, R), G, oracle.FQ_OPS),
+            oracle.FQ_OPS,
+        )
+        for _ in range(2)
+    ]
+    # a curve point outside G1: random x with y^2 = x^3 + 4 square; the
+    # odds of landing in the r-torsion are ~1/h ~ 2^-125
+    non_members = []
+    x = 5
+    while len(non_members) < 2:
+        rhs = (x * x * x + 4) % P_MOD
+        y = pow(rhs, (P_MOD + 1) // 4, P_MOD)  # p = 3 mod 4
+        if (y * y) % P_MOD == rhs:
+            non_members.append((x, y))
+        x += 1
+    A = g1.affine_from_ints(members + non_members + [None])
+    got = is_in_subgroup(FQ_ADAPTER, A)
+    assert list(map(bool, got)) == [True, True, False, False, True]

@@ -264,6 +264,26 @@ def scalar_mul(F, scalars, A, num_bits=255):
     return jax.lax.fori_loop(0, num_bits, body, acc0)
 
 
+def is_in_subgroup(F, A, *, num_bits: int = 255):
+    """Batched r-torsion membership: [r]P == O (with P on the curve).
+
+    The reference documents subgroup checks but leaves them TODO
+    (point.cuh:403-448); this is the working (if unoptimized) check —
+    one constant-time 255-bit ladder per batch.  Identity counts as a
+    member.  Returns a bool batch.
+    """
+    from .. import constants
+    from ..fields.limbs import int_to_limbs
+
+    r_limbs = jnp.asarray(
+        int_to_limbs(constants.FR_MODULUS, 16), jnp.uint32)
+    batch = F.batch_shape(A[0])
+    scalars = jnp.broadcast_to(
+        r_limbs.reshape((16,) + (1,) * len(batch)), (16,) + batch)
+    rP = scalar_mul(F, scalars, A, num_bits=num_bits)
+    return jac_is_identity(F, rP) | A[2]
+
+
 def sum_reduce(F, P):
     """Tree-sum a Jacobian batch along its last batch axis -> batch without it.
 
