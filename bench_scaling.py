@@ -13,6 +13,7 @@ to get the real curve.  Prints one JSON line per mesh size.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -20,6 +21,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# BENCH_FORCE_CPU=1: run on the virtual CPU mesh (JAX_PLATFORMS in the
+# environment is pre-empted by the platform plugin's sitecustomize, so
+# the override must go through jax.config after import).
+if os.environ.get("BENCH_FORCE_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_bls12_381_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

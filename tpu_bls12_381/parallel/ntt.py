@@ -156,11 +156,16 @@ def _ntt_sharded_impl(x, mesh, inverse: bool, transposed_in: bool,
         transposed_in=transposed_in, transposed_out=transposed_out,
     )
     rep = P(None, None)
+    # check=False: the local NTT body routes through pallas_call on TPU,
+    # whose output avals carry no varying-mesh-axes annotation and fail
+    # shard_map's strict vma check (pure per-shard compute, so the check
+    # adds no safety here).
     fn = _shard_map(
         body, mesh,
         in_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS, None),
                   rep, rep, rep, rep, P(None), P(None)),
         out_specs=P(None, SHARD_AXIS),
+        check=False,
     )
     return jax.jit(fn)(x, W, domA.tw, domA.itw, domB.tw, domB.itw,
                        domA.n_inv, domB.n_inv)
