@@ -79,12 +79,21 @@ def window_bits_for(n: int) -> int:
     tile work is lane-parallel and nearly free — so unlike the GPU table
     the optimum pushes w as high as the bucket tile allows (total work
     scales with T = ceil(255/w)+1).  Measured: w=15 beats w=11 by ~1.7x
-    at 2^16.  Cap 15: the triangle-reduction tile assumes nb <= 16384.
+    at 2^16; w=16 wins only at 2^22+ where the sort/gather cost per
+    window dominates the doubled bucket-tile work.
     """
     if n <= 0:
         return 4
     ln = max(1, n).bit_length() - 1
-    return int(np.clip(ln - 1, 4, 15))
+    return int(np.clip(ln - 1, 4, 16 if ln >= 22 else 15))
+
+
+def triangle_lb(nb: int) -> int:
+    """Lane width Lb of the (Rb, Lb) triangle-reduction bucket tile.
+
+    Rb must not exceed Lb (rows are padded up to Lb lanes for the batched
+    weighted-sum pass), so grow Lb past 128 once nb > 2^14."""
+    return max(min(128, nb), 1 << (nb.bit_length() // 2))
 
 
 def lane_tile_for(n: int) -> int:
@@ -96,7 +105,7 @@ def lane_tile_for(n: int) -> int:
     L=4096/R=16, where scan and stitch each cost ~58ms).
     """
     ln = max(4, n).bit_length() - 1
-    return 1 << int(np.clip((ln + 8) // 2, 3, 14))
+    return 1 << int(np.clip((ln + 8) // 2, 3, 15))
 
 
 @partial(jax.jit, static_argnums=1)
@@ -336,7 +345,7 @@ def _stage_triangle_scans(F, buckets, nb: int):
     stage contains a single pair of scan bodies.
     Returns (w_rows, w_cols, total).
     """
-    Lb = min(128, nb)
+    Lb = triangle_lb(nb)
     Rb = nb // Lb
     tiled = tree_map(lambda c: c.reshape(c.shape[:-1] + (Rb, Lb)), buckets)
 
@@ -413,7 +422,7 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
     # lane width: ~sqrt(n), power of two, within [8, 2048]
     L = lane_tile_for(n)
     R = -(-n // L)
-    lb_bits = min(128, nb).bit_length() - 1
+    lb_bits = triangle_lb(nb).bit_length() - 1
 
     abs_d, signs = decompose_signed_digits(scalars, w)  # (T, N)
     T = int(abs_d.shape[0])
@@ -480,7 +489,7 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
     nb = 1 << (w - 1)
     L = lane_tile_for(nloc)
     R = -(-nloc // L)
-    lb_bits = min(128, nb).bit_length() - 1
+    lb_bits = triangle_lb(nb).bit_length() - 1
     T = num_windows(w)
     sent_v = nb + 1
 
@@ -551,7 +560,7 @@ def msm_traceable(F, scalars, A, *, window_bits: int | None = None,
     nb = 1 << (w - 1)
     L = lane_tile_for(n)
     R = -(-n // L)
-    lb_bits = min(128, nb).bit_length() - 1
+    lb_bits = triangle_lb(nb).bit_length() - 1
 
     abs_d, signs = decompose_signed_digits(scalars, w)  # (T, N)
     sent = jnp.uint32(nb + 1)
@@ -643,7 +652,7 @@ def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
     nb = 1 << (w - 1)
     L = lane_tile_for(n_eff)
     R = -(-n_eff // L)
-    lb_bits = min(128, nb).bit_length() - 1
+    lb_bits = triangle_lb(nb).bit_length() - 1
 
     abs_d, signs = _digits_for_precompute(scalars, w, factor)
     sent = jnp.uint32(nb + 1)
