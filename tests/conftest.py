@@ -31,13 +31,14 @@ import jax
 if os.environ.get("MIDNIGHT_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite compiles many small integer
-# programs; caching makes re-runs fast.  Reads only: XLA:CPU executable
-# serialization (the cache WRITE path) segfaults intermittently on this
-# box (executable.serialize() in put_executable_and_time — observed twice
-# mid-suite), so new entries are not persisted from CI runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_bls12_381_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+# NO persistent compilation cache for the CPU suite: XLA:CPU executable
+# serialization segfaults intermittently on this box — observed four
+# times mid-suite across every configuration tried (shared cache dir,
+# fresh per-machine dir, write-only paths; stacks in
+# put_executable_and_time/executable.serialize and
+# backend_compile_and_load).  The suite is compile-bound either way
+# (~45 min cold vs warm was never much faster); correctness > reruns.
+jax.config.update("jax_enable_compilation_cache", False)
 
 
 @pytest.fixture

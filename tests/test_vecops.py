@@ -61,3 +61,21 @@ def test_bit_reverse_kat():
     # involution
     z = vecops.bit_reverse(y)
     assert limbs_to_ints(np.asarray(z)) == list(range(8))
+
+
+def test_vector_sum_matches_oracle(rng):
+    """Partial-sum reduction analog (vec_ops.cu:336-390)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_bls12_381 import vecops
+    from tpu_bls12_381.fields import FR, ops
+    from tpu_bls12_381.fields.limbs import ints_to_limbs, limbs_to_ints
+
+    for n in (1, 7, 64):
+        vals = [rng.randrange(FR.modulus) for _ in range(n)]
+        v = jnp.asarray(ints_to_limbs([FR.to_mont(x) for x in vals],
+                                      FR.num_limbs))
+        got = limbs_to_ints(np.asarray(
+            ops.from_mont(FR, vecops.vector_sum(FR, v)[:, None])))[0]
+        assert got == sum(vals) % FR.modulus

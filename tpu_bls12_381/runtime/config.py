@@ -18,6 +18,11 @@ carry over (core/config.rs:52-363):
                            (reference: Auto|Radix2|MixedRadix,
                            core/config.rs:168-212; fourstep is the TPU
                            mixed-radix analog — ntt/pallas_ntt.py)
+  MIDNIGHT_NTT_FAST_TWIDDLES  accepted for drop-in compatibility
+                           (core/config.rs:225-244); the four-step path
+                           always prepacks full per-stage twiddle tables
+                           (the fast-twiddles trade), so the knob is a
+                           logged no-op here
   MIDNIGHT_SHARDING        auto | none | <int #devices>, default auto
   MIDNIGHT_TRACE           comma list: msm,ntt,vecops,all (timing spans)
 """
@@ -78,6 +83,11 @@ class Config:
         window = _int_env("MIDNIGHT_MSM_WINDOW", 0, 0, 24)
         trace_raw = os.environ.get("MIDNIGHT_TRACE", "")
         trace = frozenset(t.strip() for t in trace_raw.split(",") if t.strip())
+        ft = os.environ.get("MIDNIGHT_NTT_FAST_TWIDDLES")
+        if ft is not None:
+            logger.info(
+                "MIDNIGHT_NTT_FAST_TWIDDLES=%s accepted (no-op: per-stage "
+                "twiddle tables are always prepacked here)", ft)
         return cls(
             device=device,
             msm_min_k=_int_env("MIDNIGHT_TPU_MIN_K", 15, 0, 30,

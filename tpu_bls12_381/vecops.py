@@ -50,6 +50,29 @@ def scalar_vec_add(spec, s, v):
     return fast.add(spec, jnp.broadcast_to(s, v.shape), v)
 
 
+def vector_sum(spec, v):
+    """Modular sum of a field vector (K, n) -> (K,).
+
+    Tree reduction in log2(n) halving rounds of modular adds — the
+    counterpart of the reference's partial-sum reduction kernel
+    (vec_ops.cu:336-390), whose per-block shared-memory tree becomes a
+    lane-halving loop here.
+    """
+    n = v.shape[-1]
+    while n > 1:
+        half = n // 2
+        left = v[..., :half]
+        right = v[..., half : 2 * half]
+        red = fast.add(spec, left, right)
+        if n % 2:
+            red = jnp.concatenate([red, v[..., -1:]], axis=-1)
+            n = half + 1
+        else:
+            n = half
+        v = red
+    return v[..., 0]
+
+
 # -- bit reverse ---------------------------------------------------------------
 
 def bit_reverse_indices(log_n: int) -> np.ndarray:
