@@ -94,6 +94,48 @@ def bench_msm(log_n: int, reps: int):
     return n / best, best
 
 
+def _random_g2_batch(n: int, seed: int = 7):
+    """n affine G2 points (same small-multiples-of-G construction as G1)."""
+    from tpu_bls12_381.curves import g2
+    from tpu_bls12_381.curves import points as pt
+    from tpu_bls12_381.curves.field_adapters import FQ2_ADAPTER
+
+    tree_map = jax.tree_util.tree_map
+    m = min(n, 1024)
+    rng = np.random.default_rng(seed)
+    ks = rng.integers(1, 1 << 16, size=m, dtype=np.uint64)
+    A = g2.generator_affine((m,))
+    sc = np.zeros((FR.num_limbs, m), dtype=np.uint32)
+    sc[0] = ks & 0xFFFF
+    P = pt.scalar_mul(FQ2_ADAPTER, jnp.asarray(sc), A, num_bits=16)
+    Am = pt.jac_to_affine(FQ2_ADAPTER, P)
+    if m == n:
+        return Am
+    reps = -(-n // m)
+    tile = lambda c: jnp.tile(c, (1, reps))[:, :n]
+    x, y, inf = Am
+    return (tree_map(tile, x), tree_map(tile, y),
+            jnp.tile(inf, (reps,))[:n])
+
+
+def bench_msm_g2(log_n: int, reps: int):
+    from tpu_bls12_381.msm import msm_g2
+
+    n = 1 << log_n
+    scalars = _random_fr_mont(n)
+    A = _random_g2_batch(n)
+    jax.block_until_ready(A)
+    out = msm_g2(scalars, A)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = msm_g2(scalars, A)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return n / best, best
+
+
 def bench_ntt(log_n: int, reps: int):
     from tpu_bls12_381.ntt import ntt, get_domain
 
@@ -121,6 +163,10 @@ def main():
         log_n = int(os.environ.get("BENCH_LOG_N", "22"))
         rate, secs = bench_ntt(log_n, reps)
         metric = f"ntt_fr_2e{log_n}_elems_per_s"
+    elif which in ("g2", "g2_msm"):
+        log_n = int(os.environ.get("BENCH_LOG_N", "16"))
+        rate, secs = bench_msm_g2(log_n, reps)
+        metric = f"g2_msm_2e{log_n}_points_per_s"
     else:
         log_n = int(os.environ.get("BENCH_LOG_N", "20"))
         rate, secs = bench_msm(log_n, reps)
@@ -130,7 +176,7 @@ def main():
     print(json.dumps({
         "metric": metric,
         "value": round(rate, 2),
-        "unit": "points/s" if which == "msm" else "elems/s",
+        "unit": "elems/s" if which == "ntt" else "points/s",
         "vs_baseline": round(vs, 4),
     }))
     print(f"# wall={secs:.4f}s device={jax.devices()[0].platform}", file=sys.stderr)
