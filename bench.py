@@ -172,6 +172,14 @@ def main():
         rate, secs = bench_msm(log_n, reps)
         metric = f"g1_msm_2e{log_n}_points_per_s"
     baseline = float(os.environ.get("BENCH_BASELINE", "0") or 0)
+    if baseline <= 0:
+        # default: the checked-in per-metric record of prior rounds
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_BASELINE.json")) as f:
+                baseline = float(json.load(f).get(metric, 0) or 0)
+        except (OSError, ValueError):
+            baseline = 0.0
     vs = rate / baseline if baseline > 0 else 1.0
     print(json.dumps({
         "metric": metric,
