@@ -2,8 +2,10 @@
 """Per-stage MSM timing at a given size (TPU perf diagnosis).
 
 Times each pipeline stage of msm/pippenger.py in a pipelined loop of REPS
-calls (per-call block_until_ready timings on this box carry a ~25 ms
-dispatch-bubble floor; a pipelined loop amortizes it).
+calls.  Measurement note (axon/tunnel platform): jax.block_until_ready is
+a NO-OP here — timings chain REPS dispatches and then fetch one element
+of the last output (device execution is in-order, so the fetch waits for
+the full chain).
 
 Usage: LOG_N=22 REPS=8 python tools/bench_msm_stages.py
 """
@@ -31,16 +33,20 @@ N = 1 << LOG_N
 F = FQ_ADAPTER
 
 
+def fetch_leaf(out):
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
+
+
 def timeit(name, fn, *args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    fetch_leaf(out)
     t0 = time.perf_counter()
-    outs = []
     for _ in range(REPS):
-        outs.append(fn(*args))
-    jax.block_until_ready(outs)
+        out = fn(*args)
+    fetch_leaf(out)
     dt = (time.perf_counter() - t0) / REPS
-    print(f"{name:28s} {dt*1e3:9.2f} ms")
+    print(f"{name:28s} {dt*1e3:9.2f} ms", flush=True)
     return out, dt
 
 
@@ -51,7 +57,7 @@ def main():
     scalars = benchmod._random_fr_mont(N)
     A = benchmod._random_g1_batch(N)
     x, y, inf = A
-    jax.block_until_ready(A)
+    fetch_leaf(A)
 
     w = pip.window_bits_for(N)
     nb = 1 << (w - 1)
@@ -61,19 +67,19 @@ def main():
     print(f"n=2^{LOG_N} w={w} nb={nb} L={L} R={R} T={pip.num_windows(w)}")
 
     scal_std = ops.from_mont(FR, scalars)
-    jax.block_until_ready(scal_std)
-    (abs_d, signs), t_dec = timeit(
-        "decompose", lambda s: pip.decompose_signed_digits(s, w), scal_std)
+    fetch_leaf(scal_std)
+    keys, t_dec = timeit(
+        "decompose+keys", lambda s: pip.decompose_window_keys(s, w), scal_std)
 
-    digit = abs_d[0]
-    sign0 = signs[0]
-    sent = jnp.uint32(nb + 1)
-    key = jnp.where(digit == 0, sent, digit)
-    jax.block_until_ready(key)
+    em_rows, t_pack = timeit(
+        "pack_rows (once/MSM)", lambda a, b: pip._stage_pack_rows(F, a, b), x, y)
+
+    key0 = keys[0]
+    fetch_leaf(key0)
 
     (st_out), t_sort = timeit(
-        "sort_tile", lambda k, sg: pip._stage_sort_tile(
-            F, k, R, L, x, y, None, sg, inf), key, sign0)
+        "sort_tile", lambda k: pip._stage_sort_tile(F, k, R, L, em_rows, inf),
+        key0)
     key_sorted, x_rows, y_rows, sign_rows, inf_rows = st_out
 
     (sc_out), t_scan = timeit(
@@ -101,7 +107,8 @@ def main():
     T = pip.num_windows(w)
     per_win = t_sort + t_scan + t_st + t_bd + t_tri + t_cb
     print(f"{'per-window total':28s} {per_win*1e3:9.2f} ms")
-    print(f"{'x T windows + decompose':28s} {(per_win*T + t_dec)*1e3:9.2f} ms")
+    print(f"{'x T + decompose + pack':28s} "
+          f"{(per_win*T + t_dec + t_pack)*1e3:9.2f} ms")
 
 
 if __name__ == "__main__":

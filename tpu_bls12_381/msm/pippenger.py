@@ -52,7 +52,7 @@ from .. import constants
 from ..curves import points as pt
 from ..curves import projective as pj
 from ..curves.field_adapters import FQ_ADAPTER, FQ2_ADAPTER
-from ..fields import FR, ops
+from ..fields import FQ, FR, ops
 
 tree_map = jax.tree_util.tree_map
 
@@ -145,6 +145,68 @@ def decompose_signed_digits(scalars_std, w: int):
         abs_digits.append(digit)
         signs.append(is_neg)
     return jnp.stack(abs_digits), jnp.stack(signs)
+
+
+# Sort keys: bucket id in bits 31..1, digit sign in bit 0 (sorting by the
+# combined key still groups buckets contiguously; the sign rides along and
+# is recovered from the sorted tile — no separate sign gather).  SENT2 marks
+# zero digits and points at infinity; PAD2 marks tile padding.  Both decode
+# to bucket ids far above any real bucket (w <= 16 -> bucket <= 2^15).
+_SENT2 = 0xFFFFFFFE
+_PAD2 = 0xFFFFFFFF
+
+
+@jax.jit
+def _keys_from_digits(abs_d, signs):
+    key2 = (abs_d << 1) | signs.astype(jnp.uint32)
+    return jnp.where(abs_d == 0, jnp.uint32(_SENT2), key2)
+
+
+@partial(jax.jit, static_argnums=1)
+def decompose_window_keys(scalars_std, w: int):
+    """Standard-form Fr scalars (16, N) -> (T, N) uint32 sort keys
+    (bucket << 1 | sign; zero digits -> sentinel)."""
+    return _keys_from_digits(*decompose_signed_digits(scalars_std, w))
+
+
+def _row_width(nplanes: int) -> int:
+    """Element-major row width for the gather (pad columns).
+
+    XLA:TPU row gathers hit a vectorized path only for rows >= 256 bytes
+    (measured on v5e: (N,48)u32 gathers element-at-a-time at ~6 GB/s while
+    (N,64)/(N,96)/(N,128) move whole rows at 30-75 GB/s) — so G1's 48 limb
+    planes pad to 64 columns; G2's 96 need no padding.
+    """
+    return max(64, ((nplanes + 31) // 32) * 32)
+
+
+@partial(jax.jit, static_argnums=0)
+def _stage_pack_rows(F, x, y):
+    """Affine coordinates (limbs-first trees) -> (n, W) element-major rows.
+
+    Runs ONCE per MSM (amortized over all T windows); the per-window gather
+    then moves whole point rows instead of 2K separate limb planes.
+    """
+    leaves = jax.tree_util.tree_leaves(x) + jax.tree_util.tree_leaves(y)
+    planes = jnp.concatenate(leaves, axis=0)  # (C, n)
+    W = _row_width(planes.shape[0])
+    if W > planes.shape[0]:
+        planes = jnp.pad(planes, ((0, W - planes.shape[0]), (0, 0)))
+    return planes.T  # (n, W)
+
+
+def _coord_planes(F) -> int:
+    """Limb planes per affine coordinate (Fq: 24; Fq2: 48)."""
+    return FQ.num_limbs * (2 if F is FQ2_ADAPTER else 1)
+
+
+def _coord_tree(F, t, off: int):
+    """Slice coordinate planes [off, off+C) of a (R, W, L) tile back into
+    the field adapter's element tree ((c0, c1) tuple for Fq2)."""
+    K = FQ.num_limbs
+    if F is FQ2_ADAPTER:
+        return (t[:, off:off + K], t[:, off + K:off + 2 * K])
+    return t[:, off:off + K]
 
 
 def _shift_dyn(F, P, d, direction: str):
@@ -242,43 +304,50 @@ def _double_n(F, P, times: int):
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3))
-def _stage_sort_tile(F, key, R: int, L: int, x, y, yneg, sign, inf):
-    """Sort by bucket key, gather coordinates, and tile column-major into
-    scan rows.  No field arithmetic — compiles fast.
+def _stage_sort_tile(F, key2, R: int, L: int, em_rows, inf):
+    """Sort by bucket key, row-gather the element-major point table, and
+    tile column-major into scan rows.  No field arithmetic — compiles fast.
 
     Plays the role of CUB DeviceRadixSort + index packing
-    (msm_kernels.cu:763-781).  Two cost-driven asymmetries vs the naive
-    formulation (this stage dominates the MSM wall clock at 2^20):
+    (msm_kernels.cu:763-781).  Cost-driven layout choices (this stage
+    dominated the MSM wall clock at 2^20-2^22 in every earlier shape):
+    * points are gathered as element-major ROWS from the (n, W) table
+      built once per MSM by _stage_pack_rows — on v5e a >=256-byte row
+      gather is 4-5x faster per byte than gathering 2K separate limb
+      planes (which XLA lowers element-at-a-time);
     * the column-major tiling permutation is COMPOSED into the gather
-      index, so the big coordinate arrays move through HBM exactly once
-      (a separate (L, R) transpose is an element-granularity shuffle of
-      ~200 MB per window);
-    * digit signs are NOT applied here — they ride along as a (R, L)
-      bool plane and the scan kernel negates y in VMEM
-      (pmadd_signed), saving two more full passes.
-    ``yneg`` is accepted for signature stability and unused.
+      index so the rows move through HBM once; the (R, L, W) -> (R, W, L)
+      limb-plane transpose afterwards is a streaming pass (~10x cheaper
+      than gather traffic);
+    * digit signs ride in bit 0 of the sort key and infinity/zero-digit
+      slots in the sentinel range, so no separate sign/inf gathers exist;
+      the scan kernel negates y in VMEM (pmadd_signed).
+
+    Returns (bucket_sorted, x_rows, y_rows, sign_rows, inf_rows); the
+    sorted bucket ids feed _stage_boundary's searchsorted.
     """
-    del yneg
     n = inf.shape[-1]
+    key2 = jnp.where(inf, jnp.uint32(_SENT2), key2)
     pad = R * L - n
     if pad:
-        key = jnp.concatenate([key, jnp.full((pad,), key.dtype.type(0xFFFF), key.dtype)])
+        key2 = jnp.concatenate(
+            [key2, jnp.full((pad,), jnp.uint32(_PAD2))])
     key_sorted, perm = jax.lax.sort_key_val(
-        key, (jnp.arange(R * L, dtype=jnp.uint32) % jnp.uint32(n))
+        key2, (jnp.arange(R * L, dtype=jnp.uint32) % jnp.uint32(n))
     )
     # tile[r, l] = sorted[l*R + r]; compose into the gather (tiny u32 ops)
     tile_u32 = lambda a: a.reshape(L, R).swapaxes(-1, -2)
     gidx = tile_u32(perm).reshape(-1)  # (R*L,)
     ks_rows = tile_u32(key_sorted)     # (R, L)
 
-    def gather_rows(c):  # (K, n) -> (R, K, L), one pass over HBM
-        return jnp.moveaxis(c[:, gidx].reshape(c.shape[:-1] + (R, L)), -2, 0)
-
-    x_rows = tree_map(gather_rows, x)
-    y_rows = tree_map(gather_rows, y)
-    sign_rows = sign[gidx].reshape(R, L)
-    inf_rows = inf[gidx].reshape(R, L) | (ks_rows >= jnp.uint32(0xFFFF))
-    return key_sorted, x_rows, y_rows, sign_rows, inf_rows
+    rows = em_rows[gidx]               # (R*L, W) vectorized row gather
+    t = jnp.moveaxis(rows.reshape(R, L, -1), -1, 1)  # (R, W, L)
+    C = _coord_planes(F)
+    x_rows = _coord_tree(F, t, 0)
+    y_rows = _coord_tree(F, t, C)
+    sign_rows = (ks_rows & 1) != 0
+    inf_rows = ks_rows >= jnp.uint32(_SENT2)
+    return key_sorted >> 1, x_rows, y_rows, sign_rows, inf_rows
 
 
 @partial(jax.jit, static_argnums=0)
@@ -424,16 +493,14 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
     R = -(-n // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
 
-    abs_d, signs = decompose_signed_digits(scalars, w)  # (T, N)
-    T = int(abs_d.shape[0])
-    sent = jnp.uint32(nb + 1)
+    keys = decompose_window_keys(scalars, w)  # (T, N)
+    T = int(keys.shape[0])
+    em_rows = _stage_pack_rows(F, x, y)       # (N, W), shared by all windows
 
     window_sums = []
     for t in range(T):
-        digit = abs_d[t]
-        key = jnp.where(digit == 0, sent, digit)
         key_sorted, x_rows, y_rows, sign_rows, inf_rows = _stage_sort_tile(
-            F, key, R, L, x, y, None, signs[t], inf
+            F, keys[t], R, L, em_rows, inf
         )
         col_total, prefix_rows = _stage_scan(
             F, x_rows, y_rows, sign_rows, inf_rows)
@@ -491,7 +558,6 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
     R = -(-nloc // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
     T = num_windows(w)
-    sent_v = nb + 1
 
     if mapper == "pmap":
         mapf = jax.pmap
@@ -499,15 +565,15 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
         mapf = partial(jax.vmap, in_axes=0)
 
     def prelude(sc_c):
-        """Per-chunk: scalar form conversion + digit split."""
+        """Per-chunk: scalar form conversion + digit split into sort keys."""
         sc = sc_c  # (16, nloc) limbs-first within the chunk
         if scalars_montgomery:
             sc = ops.from_mont(FR, sc)
-        return decompose_signed_digits(sc, w)  # (T, nloc)
+        return decompose_window_keys(sc, w)  # (T, nloc)
 
     prelude_m = mapf(prelude)
-    sort_tile = mapf(lambda k, xx, yy, sg, ii: _stage_sort_tile(
-        F, k, R, L, xx, yy, None, sg, ii))
+    pack_rows = mapf(lambda xx, yy: _stage_pack_rows(F, xx, yy))
+    sort_tile = mapf(lambda k, em, ii: _stage_sort_tile(F, k, R, L, em, ii))
     scan_s = mapf(lambda xr, yr, sr, ir: _stage_scan(F, xr, yr, sr, ir))
     stitch = mapf(lambda ct: _stage_stitch(F, ct))
     boundary = mapf(lambda ks, cc, pr: _stage_boundary(F, ks, cc, nb, pr))
@@ -516,13 +582,12 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
     horner = mapf(lambda ws: _stage_horner(F, ws, w))
     to_jac = mapf(lambda p: pj.proj_to_jac(F, p))
 
-    abs_d, signs = prelude_m(scalars_c)  # (D, T, nloc) digits
+    keys = prelude_m(scalars_c)   # (D, T, nloc) sort keys
+    em_rows = pack_rows(x, y)     # (D, nloc, W)
     window_sums = []
     for t in range(T):
-        digit = abs_d[:, t]  # (D, nloc)
-        key = jnp.where(digit == 0, jnp.uint32(sent_v), digit)
         key_sorted, x_rows, y_rows, sign_rows, inf_rows = sort_tile(
-            key, x, y, signs[:, t], inf)
+            keys[:, t], em_rows, inf)
         col_total, prefix_rows = scan_s(x_rows, y_rows, sign_rows, inf_rows)
         col_carry = stitch(col_total)
         buckets = boundary(key_sorted, col_carry, prefix_rows)
@@ -562,14 +627,12 @@ def msm_traceable(F, scalars, A, *, window_bits: int | None = None,
     R = -(-n // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
 
-    abs_d, signs = decompose_signed_digits(scalars, w)  # (T, N)
-    sent = jnp.uint32(nb + 1)
+    keys = decompose_window_keys(scalars, w)  # (T, N)
+    em_rows = _stage_pack_rows(F, x, y)
 
-    def window(_, ds):
-        digit, sign = ds
-        key = jnp.where(digit == 0, sent, digit)
+    def window(_, key2):
         key_sorted, x_rows, y_rows, sign_rows, inf_rows = _stage_sort_tile(
-            F, key, R, L, x, y, None, sign, inf
+            F, key2, R, L, em_rows, inf
         )
         col_total, prefix_rows = _stage_scan(
             F, x_rows, y_rows, sign_rows, inf_rows)
@@ -579,7 +642,7 @@ def msm_traceable(F, scalars, A, *, window_bits: int | None = None,
         Wt = _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
         return 0, Wt
 
-    _, Ws = jax.lax.scan(window, 0, (abs_d, signs))
+    _, Ws = jax.lax.scan(window, 0, keys)
     return pj.proj_to_jac(F, _stage_horner(F, Ws, w))
 
 
@@ -655,14 +718,13 @@ def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
     lb_bits = triangle_lb(nb).bit_length() - 1
 
     abs_d, signs = _digits_for_precompute(scalars, w, factor)
-    sent = jnp.uint32(nb + 1)
+    keys = _keys_from_digits(abs_d, signs)
+    em_rows = _stage_pack_rows(F, x, y)
 
     window_sums = []
-    for t in range(abs_d.shape[0]):
-        digit = abs_d[t]
-        key = jnp.where(digit == 0, sent, digit)
+    for t in range(keys.shape[0]):
         key_sorted, x_rows, y_rows, sign_rows, inf_rows = _stage_sort_tile(
-            F, key, R, L, x, y, None, signs[t], inf
+            F, keys[t], R, L, em_rows, inf
         )
         col_total, prefix_rows = _stage_scan(
             F, x_rows, y_rows, sign_rows, inf_rows)

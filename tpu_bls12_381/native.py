@@ -64,6 +64,9 @@ def lib() -> ctypes.CDLL | None:
         L.limbs16_to_wire.argtypes = [u32p, u64p, ctypes.c_size_t, ctypes.c_int]
         L.mont_encode_batch.argtypes = [u64p, u64p, ctypes.c_size_t, ctypes.c_int]
         L.mont_decode_batch.argtypes = [u64p, u64p, ctypes.c_size_t, ctypes.c_int]
+        u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+        for fn in (L.g1_msm_host, L.g2_msm_host):
+            fn.argtypes = [u64p, u64p, u8p, ctypes.c_size_t, u64p]
         L.native_abi_version.restype = ctypes.c_int
         if L.native_abi_version() != 1:
             logger.warning("native ABI mismatch; using numpy fallbacks")
@@ -111,3 +114,58 @@ def mont_decode(words: np.ndarray, field: int) -> np.ndarray:
     out = np.empty_like(w)
     L.mont_decode_batch(w, out, w.shape[0], field)
     return out
+
+
+# ---- host Pippenger MSM (native/msm_host.cpp — the BLST multi_exp analog) --
+
+
+def _ints_to_words(vals, k64: int) -> np.ndarray:
+    out = np.zeros((len(vals), k64), dtype=np.uint64)
+    mask = (1 << 64) - 1
+    for i, v in enumerate(vals):
+        for w in range(k64):
+            out[i, w] = (v >> (64 * w)) & mask
+    return out
+
+
+def _words_to_int(words: np.ndarray) -> int:
+    return sum(int(w) << (64 * j) for j, w in enumerate(words))
+
+
+def msm_host(scalars, bases, curve: str = "g1"):
+    """Host Pippenger MSM on int scalars / affine int bases (None = identity).
+
+    G1 bases are (x, y) int pairs; G2 bases ((x0, x1), (y0, y1)) pairs.
+    Returns the Jacobian int triple (matching oracle.msm's contract).
+    Requires the native library; callers check :func:`available` first.
+    """
+    from .constants import FR_MODULUS
+
+    L = lib()
+    n = len(scalars)
+    sc = _ints_to_words([s % FR_MODULUS for s in scalars], 4)
+    inf = np.zeros(n, dtype=np.uint8)
+    if curve == "g1":
+        xy = np.zeros((n, 12), dtype=np.uint64)
+        for i, b in enumerate(bases):
+            if b is None:
+                inf[i] = 1
+            else:
+                xy[i, :6] = _ints_to_words([b[0]], 6)[0]
+                xy[i, 6:] = _ints_to_words([b[1]], 6)[0]
+        out = np.zeros(18, dtype=np.uint64)
+        L.g1_msm_host(np.ascontiguousarray(sc), xy.reshape(-1), inf, n, out)
+        X, Y, Z = (_words_to_int(out[j * 6:(j + 1) * 6]) for j in range(3))
+        return (X, Y, Z)
+    xy = np.zeros((n, 24), dtype=np.uint64)
+    for i, b in enumerate(bases):
+        if b is None:
+            inf[i] = 1
+        else:
+            (x0, x1), (y0, y1) = b
+            for j, v in enumerate((x0, x1, y0, y1)):
+                xy[i, j * 6:(j + 1) * 6] = _ints_to_words([v], 6)[0]
+    out = np.zeros(36, dtype=np.uint64)
+    L.g2_msm_host(np.ascontiguousarray(sc), xy.reshape(-1), inf, n, out)
+    c = [_words_to_int(out[j * 6:(j + 1) * 6]) for j in range(6)]
+    return ((c[0], c[1]), (c[2], c[3]), (c[4], c[5]))

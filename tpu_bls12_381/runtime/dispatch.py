@@ -49,10 +49,22 @@ def dispatch_msm(scalars: list[int], bases: list, curve: str = "g1") -> Dispatch
             return DispatchResult(value, Route.ACCEL)
         except Exception as e:  # noqa: BLE001 - transparent fallback by design
             logger.warning("accelerated MSM failed (%s); falling back to CPU", e)
-            value = oracle.jac_to_affine(oracle.msm(scalars, bases, ops_ns), ops_ns)
+            value = oracle.jac_to_affine(_host_msm(scalars, bases, curve), ops_ns)
             return DispatchResult(value, Route.ACCEL_FAILED, e)
-    value = oracle.jac_to_affine(oracle.msm(scalars, bases, ops_ns), ops_ns)
+    value = oracle.jac_to_affine(_host_msm(scalars, bases, curve), ops_ns)
     return DispatchResult(value, Route.CPU)
+
+
+def _host_msm(scalars, bases, curve: str):
+    """CPU MSM: native Pippenger (native/msm_host.cpp, the BLST multi_exp
+    analog) when the compiled library is present, else the big-int oracle's
+    naive double-and-add."""
+    from .. import native, oracle
+
+    if native.available():
+        return native.msm_host(scalars, bases, curve)
+    ops_ns = oracle.FQ_OPS if curve == "g1" else oracle.FQ2_OPS
+    return oracle.msm(scalars, bases, ops_ns)
 
 
 def _accel_msm(scalars: list[int], bases: list, curve: str):
