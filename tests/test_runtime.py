@@ -150,6 +150,18 @@ class TestMsmContext:
             want = ctx.msm(s, A)
             assert bool(np.asarray(pt.jac_eq(FQ_ADAPTER, got, want)))
 
+    def test_batch_precomputed_matches_individual(self, rng):
+        """Batched pipeline over expanded bases (factor 2) — exercises the
+        msm_batch_shared regrouping path (core/msm.rs:1245-1249 analog)."""
+        ctx = g1_context()
+        A, _, _ = _points(rng)
+        bases = ctx.upload_bases(A, precompute_factor=2)
+        sets = [_scalars(rng)[0] for _ in range(2)]
+        batch = ctx.msm_batch(sets, bases)
+        for s, got in zip(sets, batch):
+            want = ctx.msm(s, A)
+            assert bool(np.asarray(pt.jac_eq(FQ_ADAPTER, got, want)))
+
     def test_async_matches_sync(self, rng):
         ctx = g1_context()
         A, _, _ = _points(rng)

@@ -358,8 +358,7 @@ def _stage_scan(F, x_rows, y_rows, sign_rows, inf_rows):
 
     Returns per-column inclusive prefix sums (R, .., L) and column totals.
     """
-    L = inf_rows.shape[-1]
-    ident = g_identity(F, (L,))
+    ident = g_identity(F, inf_rows.shape[1:])  # (L,) or (B, L) batched
 
     def step(acc, row):
         rx, ry, rsign, rinf = row
@@ -377,8 +376,7 @@ def _stage_stitch(F, col_total):
     return _lane_prefix_exclusive(F, col_total)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _stage_boundary(F, key_sorted, col_carry, nb: int, prefix_rows):
+def _boundary_core(F, key_sorted, col_carry, nb: int, prefix_rows):
     """Dense bucket sums by prefix difference at sorted bucket boundaries.
 
     bucket_b = S[end_b] - S[start_b - 1]; S[e] = col_carry[l] + prefix[r, l].
@@ -406,6 +404,9 @@ def _stage_boundary(F, key_sorted, col_carry, nb: int, prefix_rows):
     return g_cmov(F, cnt > 0, sums, g_identity(F, (nb,)))
 
 
+_stage_boundary = partial(jax.jit, static_argnums=(0, 3))(_boundary_core)
+
+
 @partial(jax.jit, static_argnums=(0, 2))
 def _stage_triangle_scans(F, buckets, nb: int):
     """Suffix-scan phase of sum_b b*P_b over a (Rb, Lb) bucket tile.
@@ -423,7 +424,8 @@ def _stage_triangle_scans(F, buckets, nb: int):
     col_l = _sum_last_axis(F, ct)   # (K, Lb)
     row_sum = _sum_last_axis(F, tiled)  # (K, Rb)
     # pad rows to Lb lanes and batch both weighted sums in one pass
-    idR = g_identity(F, (Lb - Rb,)) if Lb > Rb else None
+    batch = jax.tree_util.tree_leaves(buckets)[0].shape[1:-1]  # () or (B,)
+    idR = g_identity(F, batch + (Lb - Rb,)) if Lb > Rb else None
     if Lb > Rb:
         row_sum = tree_map(
             lambda c, i: jnp.concatenate([c, i], axis=-1), row_sum, idR
@@ -520,6 +522,106 @@ def msm_g1(scalars, A, **kw):
 
 def msm_g2(scalars, A, **kw):
     return msm(FQ2_ADAPTER, scalars, A, **kw)
+
+
+# -----------------------------------------------------------------------------
+# Batched MSM with shared bases — ONE pipeline for all B scalar sets
+# (core/msm.rs:1179-1407 analog).  The batch axis is folded between the limb
+# and lane axes of every tile, so each per-window stage runs once over
+# B-times-wider lanes instead of B times: one batched sort, one row gather
+# from the SHARED point table, one scan of B*L-wide mixed adds.  At small N
+# this both amortizes dispatch overhead and fills the VPU lanes the
+# single-MSM tiles leave idle.
+# -----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _stage_sort_tile_batch(F, keys, R: int, L: int, em_rows, inf):
+    """Batched :func:`_stage_sort_tile`: keys (B, n) against one shared
+    (n, W) element-major table.  Returns tiles with the batch axis between
+    limbs and lanes — x_rows leaves (R, K, B, L)."""
+    B, n = keys.shape
+    keys = jnp.where(inf[None, :], jnp.uint32(_SENT2), keys)
+    pad = R * L - n
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jnp.full((B, pad), jnp.uint32(_PAD2))], axis=1)
+    iota = jnp.broadcast_to(
+        jnp.arange(R * L, dtype=jnp.uint32) % jnp.uint32(n), (B, R * L))
+    key_sorted, perm = jax.lax.sort_key_val(keys, iota)
+    tile = lambda a: a.reshape(B, L, R).swapaxes(-1, -2)  # (B, R, L)
+    gidx = tile(perm).reshape(-1)          # (B*R*L,)
+    rows = em_rows[gidx]                   # (B*R*L, W) shared-table gather
+    t = jnp.transpose(rows.reshape(B, R, L, -1), (1, 3, 0, 2))  # (R, W, B, L)
+    C = _coord_planes(F)
+    x_rows = _coord_tree(F, t, 0)
+    y_rows = _coord_tree(F, t, C)
+    ks_rows = jnp.moveaxis(tile(key_sorted), 0, 1)  # (R, B, L)
+    sign_rows = (ks_rows & 1) != 0
+    inf_rows = ks_rows >= jnp.uint32(_SENT2)
+    return key_sorted >> 1, x_rows, y_rows, sign_rows, inf_rows
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _stage_boundary_batch(F, key_sorted, col_carry, nb: int, prefix_rows):
+    """Batched :func:`_stage_boundary`: key_sorted (B, R*L); col_carry
+    leaves (K, B, L); prefix leaves (R, K, B, L) -> buckets (K, B, nb)."""
+    core = lambda ks, cc, pr: _boundary_core(F, ks, cc, nb, pr)
+    return jax.vmap(core, in_axes=(0, 1, 2), out_axes=1)(
+        key_sorted, col_carry, prefix_rows)
+
+
+def msm_batch_shared(F, scalars_b, A, *, window_bits: int | None = None,
+                     factor: int = 1, scalars_montgomery: bool = True):
+    """B MSMs over shared affine bases in one batched pipeline.
+
+    scalars_b: (16, B, N) uint32 Fr limbs (limbs-first, batch in the
+    middle).  A: the affine bases — already expanded by
+    :func:`expand_bases` when factor > 1.  Returns a Jacobian point batch
+    with leaves (K, B) — one result per scalar set.
+    """
+    x, y, inf = A
+    n_eff = inf.shape[-1]
+    B = scalars_b.shape[1]
+    if scalars_montgomery:
+        scalars_b = ops.from_mont(FR, scalars_b)
+    w = window_bits or window_bits_for(n_eff // max(factor, 1))
+    nb = 1 << (w - 1)
+    L = lane_tile_for(n_eff)
+    R = -(-n_eff // L)
+    lb_bits = triangle_lb(nb).bit_length() - 1
+
+    abs_d, signs = decompose_signed_digits(scalars_b, w)  # (T, B, N)
+    if factor > 1:
+        Tp = precompute_window_span(w, factor)
+        T0, n0 = abs_d.shape[0], abs_d.shape[-1]
+        padw = Tp * factor - T0
+        if padw:
+            z = jnp.zeros((padw, B, n0), abs_d.dtype)
+            abs_d = jnp.concatenate([abs_d, z])
+            signs = jnp.concatenate([signs, z.astype(signs.dtype)])
+        regroup = lambda a: (a.reshape(factor, Tp, B, n0)
+                             .transpose(1, 2, 0, 3)
+                             .reshape(Tp, B, factor * n0))
+        abs_d, signs = regroup(abs_d), regroup(signs)
+    keys = _keys_from_digits(abs_d, signs)  # (T', B, n_eff)
+    em_rows = _stage_pack_rows(F, x, y)
+
+    window_sums = []
+    for t in range(keys.shape[0]):
+        key_sorted, x_rows, y_rows, sign_rows, inf_rows = \
+            _stage_sort_tile_batch(F, keys[t], R, L, em_rows, inf)
+        col_total, prefix_rows = _stage_scan(
+            F, x_rows, y_rows, sign_rows, inf_rows)
+        col_carry = _stage_stitch(F, col_total)
+        buckets = _stage_boundary_batch(
+            F, key_sorted, col_carry, nb, prefix_rows)
+        w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
+        window_sums.append(
+            _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
+        )
+    Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
+    return _stage_to_jac(F, _stage_horner(F, Ws, w))
 
 
 # -----------------------------------------------------------------------------

@@ -125,21 +125,33 @@ class MsmContext:
                         scalars_montgomery: bool = True) -> AsyncHandle:
         """Many MSMs sharing one base set; one handle for all results.
 
-        Dispatched back-to-back without host syncs — JAX queues the whole
-        pipeline on device, which is the TPU equivalent of the reference's
-        single batched kernel launch on a dedicated stream.
+        One batched pipeline (pippenger.msm_batch_shared): the batch axis
+        is folded into the tile lanes so every per-window stage — sort,
+        shared-table gather, scan — runs once for all B scalar sets, the
+        TPU equivalent of the reference's single batched kernel launch
+        with are_points_shared_in_batch (core/msm.rs:1179-1407).
         """
         for s in scalars_list:
             if s.shape[-1] != bases.n:
                 raise ValueError(
                     f"batch MSM scalar count {s.shape[-1]} != base count {bases.n}")
-        outs = [
-            pippenger.msm_precomputed(
-                self.F, s, bases.A,
+        if len(scalars_list) == 1:
+            out = pippenger.msm_precomputed(
+                self.F, scalars_list[0], bases.A,
                 window_bits=bases.window_bits, factor=bases.factor,
                 scalars_montgomery=scalars_montgomery,
             )
-            for s in scalars_list
+            return AsyncHandle([out])
+        sc_b = jnp.stack(list(scalars_list), axis=1)  # (16, B, N)
+        P = pippenger.msm_batch_shared(
+            self.F, sc_b, bases.A,
+            window_bits=bases.window_bits, factor=bases.factor,
+            scalars_montgomery=scalars_montgomery,
+        )
+        B = len(scalars_list)
+        outs = [
+            jax.tree_util.tree_map(lambda c, i=i: c[..., i], P)
+            for i in range(B)
         ]
         return AsyncHandle(outs)
 
