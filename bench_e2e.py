@@ -1,0 +1,163 @@
+"""End-to-end prover-phase benchmark: the PLONK/KZG pipeline per phase.
+
+The analog of the reference's downstream e2e proof benchmark
+(docs/gpu-integration/diffs-2df59557/test_e2e_proof_benchmark.rs.diff:130-177),
+which times full proofs per phase and prints a GPU-vs-CPU speedup table
+per circuit size K.  Here the prover-shaped pipeline is:
+
+    commit : B=4 batched MSM (2^K points each) against cached SRS bases
+    ntt    : coset NTT at the 2^(K+1) evaluation domain
+    vecops : pointwise product on the domain
+    intt   : coset iNTT back to coefficients
+    open   : 1 MSM (2^K) — the opening-proof commitment
+
+The CPU column is the library's own host fallback (the BLST-role native
+Pippenger, native/msm_host.cpp, for MSMs; the XLA:CPU path of the same
+NTT/vecops programs, run in a JAX_PLATFORMS=cpu subprocess because a
+process binds one default platform).
+
+Usage:
+    python bench_e2e.py                  # accel leg + CPU-leg subprocess
+    BENCH_E2E_KS=14,16 python bench_e2e.py
+    BENCH_E2E_SKIP_CPU=1 python bench_e2e.py   # accel only
+    python bench_e2e.py --cpu-leg 14     # internal: one CPU-leg K, JSON out
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+if "--cpu-leg" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_bls12_381_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from tpu_bls12_381 import constants, vecops
+from tpu_bls12_381.fields import FR, ops
+from tpu_bls12_381.ntt import get_domain
+from tpu_bls12_381.ntt.ntt import coset_intt, coset_ntt
+from tpu_bls12_381.runtime.msm_context import g1_context
+
+from bench import _random_fr_mont, _random_g1_batch
+
+B_COMMIT = 4
+SHIFT = constants.FR_MULTIPLICATIVE_GENERATOR
+REPS = int(os.environ.get("BENCH_E2E_REPS", "2"))
+
+
+def _timed(fn):
+    jax.block_until_ready(fn())  # compile
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def accel_leg(K: int) -> dict:
+    n, dom_n = 1 << K, 1 << (K + 1)
+    ctx = g1_context()
+    A = _random_g1_batch(n)
+    bases = ctx.upload_bases(A, precompute_factor=2)
+    polys = [_random_fr_mont(n, seed=10 + i) for i in range(B_COMMIT)]
+    coeffs = _random_fr_mont(dom_n, seed=20)
+    get_domain(K + 1)  # domain build outside the timing (cached, like the SRS)
+
+    t = {}
+    t["commit"] = _timed(lambda: ctx.msm_batch(polys, bases))
+    ev = coset_ntt(coeffs, SHIFT)
+    t["ntt"] = _timed(lambda: coset_ntt(coeffs, SHIFT))
+    t["vecops"] = _timed(lambda: vecops.vector_mul(FR, ev, ev))
+    prod = vecops.vector_mul(FR, ev, ev)
+    t["intt"] = _timed(lambda: coset_intt(prod, SHIFT))
+    t["open"] = _timed(lambda: ctx.msm_with_bases(polys[0], bases))
+    t["total"] = sum(t.values())
+    return t
+
+
+def cpu_leg(K: int) -> dict:
+    """Host-path times: native Pippenger MSM + XLA:CPU NTT/vecops."""
+    from tpu_bls12_381 import native
+    from tpu_bls12_381.curves import g1
+
+    n, dom_n = 1 << K, 1 << (K + 1)
+    t = {}
+    if native.available():
+        rng = np.random.default_rng(1)
+        sc = [int(x) for x in rng.integers(0, 1 << 62, size=n, dtype=np.int64)]
+        A = _random_g1_batch(n)
+        pts = g1.affine_to_ints(jax.tree_util.tree_map(np.asarray, A))
+        t0 = time.perf_counter()
+        native.msm_host(sc, pts, "g1")
+        one = time.perf_counter() - t0
+        t["commit"] = one * B_COMMIT
+        t["open"] = one
+    coeffs = _random_fr_mont(dom_n, seed=20)
+    get_domain(K + 1)
+    ev = coset_ntt(coeffs, SHIFT)
+    t["ntt"] = _timed(lambda: coset_ntt(coeffs, SHIFT))
+    t["vecops"] = _timed(lambda: vecops.vector_mul(FR, ev, ev))
+    prod = vecops.vector_mul(FR, ev, ev)
+    t["intt"] = _timed(lambda: coset_intt(prod, SHIFT))
+    t["total"] = sum(t.values())
+    return t
+
+
+def main():
+    if "--cpu-leg" in sys.argv:
+        K = int(sys.argv[sys.argv.index("--cpu-leg") + 1])
+        print(json.dumps(cpu_leg(K)))
+        return
+
+    ks = [int(k) for k in
+          os.environ.get("BENCH_E2E_KS", "14,16,18").split(",")]
+    skip_cpu = bool(os.environ.get("BENCH_E2E_SKIP_CPU"))
+    results = {}
+    for K in ks:
+        acc = accel_leg(K)
+        row = {"accel": acc}
+        if not skip_cpu:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpu-leg", str(K)],
+                capture_output=True, text=True, timeout=3600,
+                env=dict(os.environ, JAX_PLATFORMS="cpu"))
+            if out.returncode == 0:
+                row["cpu"] = json.loads(out.stdout.strip().splitlines()[-1])
+            else:
+                print(f"# cpu leg failed for K={K}:\n{out.stderr[-2000:]}",
+                      file=sys.stderr)
+        results[K] = row
+        print(f"# K={K} done: accel total {acc['total']*1e3:.1f} ms",
+              file=sys.stderr)
+
+    phases = ["commit", "ntt", "vecops", "intt", "open", "total"]
+    print("| K | " + " | ".join(
+        f"{p} (ms / speedup)" for p in phases) + " |")
+    print("|" + "---|" * (len(phases) + 1))
+    for K, row in results.items():
+        cells = []
+        for p in phases:
+            a = row["accel"][p] * 1e3
+            c = row.get("cpu", {}).get(p)
+            cells.append(f"{a:.1f} / {c / row['accel'][p]:.1f}x"
+                         if c else f"{a:.1f} / —")
+        print(f"| {K} | " + " | ".join(cells) + " |")
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "E2E.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,209 @@
+"""Per-kernel speed-of-light accounting (BASELINE north-star requirement).
+
+Measures the achieved throughput of every hot kernel — Fr/Fq Montgomery
+multiply, NTT butterfly, G1 mixed add — plus MSM/NTT end-to-end
+mul-equivalent rates, and compares each against the per-chip roofline:
+
+    ceiling = min( HBM_BW / bytes_per_elem ,  VPU_int32_ops / ops_per_elem )
+
+Bytes are exact (limbs in + limbs out per element).  The VPU op counts
+are static counts of the kernel's 32-bit integer ops (multiplies, adds,
+shifts/masks); the VPU ceiling itself is an estimate documented in
+tuning.py (the HBM bound is the solid one — these kernels are
+bandwidth-bound at production sizes).
+
+The reference ships per-kernel throughput notes in source
+(ntt_kernels.cu:55, msm_kernels.cu:37); this harness is the living
+version: run on a real chip it prints a markdown MFU table and writes
+SOL.json for the round artifacts.
+
+Usage:  python bench_kernels.py            # all kernels
+        BENCH_SOL_REPS=5 python bench_kernels.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_bls12_381_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from tpu_bls12_381.fields import FR, FQ, ops
+from tpu_bls12_381.fields import fast
+from tpu_bls12_381.tuning import chip_profile
+
+REPS = int(os.environ.get("BENCH_SOL_REPS", "3"))
+
+
+def _rand_limbs(spec, n, seed):
+    """Uniform sub-modulus-ish limb arrays (top limb truncated: exact
+    distribution is irrelevant for throughput)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 16, size=(spec.num_limbs, n), dtype=np.uint64)
+    a[-1] &= 0x0FFF
+    return jnp.asarray(a.astype(np.uint32))
+
+
+def _time(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _mont_mul_op_count(K: int) -> dict:
+    """Static 32-bit op counts of the unrolled schoolbook+REDC kernel
+    (fields/pallas_ops._k_mont_mul)."""
+    mults = 2 * K * K + K
+    adds = 4 * K * K + 8 * K       # partial-product adds + carry chains
+    bitops = 4 * K * K + 6 * K     # masks + shifts
+    return {"mul": mults, "total": mults + adds + bitops}
+
+
+def kernel_entries():
+    """(name, measure() -> elems_per_s, bytes/elem, int_ops/elem)"""
+    log_fr = int(os.environ.get("BENCH_SOL_LOG_N", "20"))
+    n_fr, n_fq = 1 << log_fr, 1 << max(log_fr - 2, 10)
+    a16, b16 = _rand_limbs(FR, n_fr, 1), _rand_limbs(FR, n_fr, 2)
+    a24, b24 = _rand_limbs(FQ, n_fq, 3), _rand_limbs(FQ, n_fq, 4)
+
+    ent = []
+    cnt16 = _mont_mul_op_count(16)
+    cnt24 = _mont_mul_op_count(24)
+
+    # bytes/elem = (#in + #out field elements) * K limbs * 4 bytes
+    ent.append(("fr_mont_mul",
+                lambda: n_fr / _time(lambda: fast.mont_mul(FR, a16, b16)),
+                3 * 16 * 4, cnt16["total"]))
+    ent.append(("fr_mont_sqr",
+                lambda: n_fr / _time(lambda: fast.mont_sqr(FR, a16)),
+                2 * 16 * 4, cnt16["total"]))
+    ent.append(("fq_mont_mul",
+                lambda: n_fq / _time(lambda: fast.mont_mul(FQ, a24, b24)),
+                3 * 24 * 4, cnt24["total"]))
+
+    # butterfly: (even, odd, w) in, (hi, lo) out = 5 Fr elements of traffic
+    w16 = _rand_limbs(FR, n_fr, 5)
+    ent.append(("fr_butterfly",
+                lambda: n_fr / _time(lambda: fast.butterfly(FR, a16, b16, w16)),
+                5 * 16 * 4, cnt16["total"] + 24 * 16))
+
+    # G1 mixed add (RCB16 complete, 11 Fq mul + 6 sqr-free adds):
+    # (X,Y,Z) + (x,y) -> (X,Y,Z): 8 Fq coords of traffic
+    from tpu_bls12_381.curves import projective as pj
+    from tpu_bls12_381.curves.field_adapters import FQ_ADAPTER
+
+    n_pt = 1 << max(log_fr - 4, 10)
+    gx, gy = _rand_limbs(FQ, n_pt, 6), _rand_limbs(FQ, n_pt, 7)
+    P = pj.proj_identity(FQ_ADAPTER, (n_pt,))
+    sign = jnp.zeros((n_pt,), dtype=bool)
+    inf = jnp.zeros((n_pt,), dtype=bool)
+    madd = jax.jit(lambda p, a, s: pj.proj_add_mixed_signed_fast(
+        FQ_ADAPTER, p, a, s))
+    ent.append(("g1_mixed_add",
+                lambda: n_pt / _time(lambda: madd(P, (gx, gy, inf), sign)),
+                8 * 24 * 4, 14 * cnt24["total"]))
+    return ent
+
+
+def end_to_end():
+    """MSM / NTT end-to-end rates expressed in fused-kernel mul-equivalents."""
+    out = {}
+    import bench as bench_mod
+
+    n = 1 << 20
+    rate, secs = bench_mod.bench_msm(20, REPS)
+    # per point: T=18 windows (w=15) x ~1 mixed add (11 Fq mul + 0 sqr)
+    # + per-window tile fixups; count the dominant term only.
+    T = 18
+    out["msm_2e20"] = {
+        "points_per_s": rate,
+        "wall_s": secs,
+        "fq_mul_equiv_per_s": rate * T * 11,
+    }
+    rate, secs = bench_mod.bench_ntt(22, REPS)
+    out["ntt_2e22"] = {
+        "elems_per_s": rate,
+        "wall_s": secs,
+        "butterflies_per_s": rate * 22 / 2,
+        "fr_mul_equiv_per_s": rate * 22 / 2,  # 1 mont_mul per butterfly
+    }
+    return out
+
+
+def main():
+    prof = chip_profile()
+    bw = prof.hbm_gbps * 1e9
+    vpu = prof.vpu_int32_gops * 1e9
+    rows = []
+    for name, measure, bytes_per, ops_per in kernel_entries():
+        rate = measure()
+        hbm_ceiling = bw / bytes_per
+        vpu_ceiling = vpu / ops_per
+        ceiling = min(hbm_ceiling, vpu_ceiling)
+        bound = "HBM" if hbm_ceiling < vpu_ceiling else "VPU"
+        rows.append({
+            "kernel": name,
+            "rate_per_s": rate,
+            "bytes_per_elem": bytes_per,
+            "int_ops_per_elem": ops_per,
+            "hbm_ceiling_per_s": hbm_ceiling,
+            "vpu_ceiling_per_s": vpu_ceiling,
+            "bound": bound,
+            "sol_frac": rate / ceiling,
+        })
+        print(f"[{name}] {rate/1e6:.1f}M/s  "
+              f"ceiling {ceiling/1e6:.0f}M/s ({bound}-bound)  "
+              f"SoL {100*rate/ceiling:.1f}%", file=sys.stderr)
+
+    e2e = {} if os.environ.get("BENCH_SOL_SKIP_E2E") else end_to_end()
+    fused_fq = next(r["rate_per_s"] for r in rows if r["kernel"] == "fq_mont_mul")
+    fused_fr = next(r["rate_per_s"] for r in rows if r["kernel"] == "fr_mont_mul")
+    if "msm_2e20" in e2e:
+        e2e["msm_2e20"]["vs_fused_fq_mul"] = (
+            e2e["msm_2e20"]["fq_mul_equiv_per_s"] / fused_fq)
+    if "ntt_2e22" in e2e:
+        e2e["ntt_2e22"]["vs_fused_fr_mul"] = (
+            e2e["ntt_2e22"]["fr_mul_equiv_per_s"] / fused_fr)
+
+    result = {
+        "chip": prof.name,
+        "hbm_gbps": prof.hbm_gbps,
+        "vpu_int32_gops_estimate": prof.vpu_int32_gops,
+        "kernels": rows,
+        "end_to_end": e2e,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SOL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    # markdown MFU table (README-ready)
+    print("| kernel | achieved | roofline | bound | % of SoL |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        ceil = min(r["hbm_ceiling_per_s"], r["vpu_ceiling_per_s"])
+        print(f"| {r['kernel']} | {r['rate_per_s']/1e6:.1f}M/s "
+              f"| {ceil/1e6:.0f}M/s | {r['bound']} "
+              f"| {100*r['sol_frac']:.1f}% |")
+    for k, v in e2e.items():
+        key = "vs_fused_fq_mul" if "msm" in k else "vs_fused_fr_mul"
+        print(f"| {k} (mul-equiv) | "
+              f"{(v.get('fq_mul_equiv_per_s') or v.get('fr_mul_equiv_per_s'))/1e6:.0f}M/s "
+              f"| fused-kernel rate | — | {100*v[key]:.1f}% |")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,20 +10,55 @@
 # exit code signals a signal-death (>= 128), up to MAX_RETRY times.
 #
 # Usage: tests/run_suite.sh [extra pytest args]
+#        tests/run_suite.sh --tpu [extra pytest args]
+#
+# --tpu runs the Mosaic-compiled-kernel subset on the real chip
+# (MIDNIGHT_TEST_TPU=1: Pallas kernels compile instead of interpreting,
+# test_fourstep unskips) and records the pass summary in TPU_SUITE.txt —
+# the per-round artifact proving the compiled kernels are bit-exact.
 
 set -u
 cd "$(dirname "$0")/.."
 MAX_RETRY=${MAX_RETRY:-2}
+
+FILES=(tests/test_*.py)
+SUMMARY=""
+if [ "${1:-}" = "--tpu" ]; then
+  shift
+  export MIDNIGHT_TEST_TPU=1
+  # Compile-heavy Pallas/kernel files only: the rest of the suite is
+  # platform-independent integer math already covered by the CPU run.
+  FILES=(tests/test_pallas_ops.py tests/test_fourstep.py
+         tests/test_projective.py tests/test_golden.py)
+  SUMMARY=TPU_SUITE.txt
+  : > "$SUMMARY"
+  {
+    echo "# Real-TPU kernel suite ($(date -u +%Y-%m-%dT%H:%M:%SZ))"
+    python - <<'EOF'
+import jax
+d = jax.devices()[0]
+print(f"# device: {d.device_kind} ({d.platform})")
+EOF
+  } >> "$SUMMARY"
+fi
+
 fail=0
-for f in tests/test_*.py; do
+for f in "${FILES[@]}"; do
   for attempt in $(seq 0 "$MAX_RETRY"); do
-    python -m pytest "$f" -q -p no:cacheprovider "$@"
-    rc=$?
+    if [ -n "$SUMMARY" ]; then
+      python -m pytest "$f" -q -p no:cacheprovider "$@" 2>&1 | tee /tmp/suite_last.log
+      rc=${PIPESTATUS[0]}
+    else
+      python -m pytest "$f" -q -p no:cacheprovider "$@"
+      rc=$?
+    fi
     if [ "$rc" -eq 0 ]; then
+      [ -n "$SUMMARY" ] && echo "$f: $(tail -1 /tmp/suite_last.log)" >> "$SUMMARY"
       break
     elif [ "$rc" -ge 128 ] && [ "$attempt" -lt "$MAX_RETRY" ]; then
       echo "== $f died with signal (rc=$rc); retry $((attempt + 1))/$MAX_RETRY =="
     else
+      [ -n "$SUMMARY" ] && echo "$f: FAILED (rc=$rc)" >> "$SUMMARY"
       fail=1
       break
     fi

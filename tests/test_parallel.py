@@ -4,6 +4,8 @@ Runs on the 8-virtual-device CPU mesh from conftest.py — the same code
 path the driver's dryrun_multichip exercises and the TPU pod would run.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -101,6 +103,72 @@ class TestShardedNtt:
             for j, bj in enumerate(b):
                 want[(i + j) % n] = (want[(i + j) % n] + ai * bj) % constants.FR_MODULUS
         assert got == want
+
+
+class TestShardedCosetNtt:
+    def test_coset_matches_single_device(self, rng):
+        from tpu_bls12_381.ntt.ntt import coset_ntt
+        from tpu_bls12_381.parallel import coset_ntt_sharded
+
+        mesh = _mesh()
+        n = 1 << 9
+        shift = constants.FR_MULTIPLICATIVE_GENERATOR
+        x = _rand_fr_mont(rng, n)
+        got = coset_ntt_sharded(x, mesh, shift)
+        want = coset_ntt(x, shift)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_coset_roundtrip_transposed(self, rng):
+        from tpu_bls12_381.parallel import coset_intt_sharded, coset_ntt_sharded
+
+        mesh = _mesh()
+        n = 1 << 9
+        shift = constants.FR_MULTIPLICATIVE_GENERATOR
+        x = _rand_fr_mont(rng, n)
+        ev = coset_ntt_sharded(x, mesh, shift, transposed_out=True)
+        back = coset_intt_sharded(ev, mesh, shift, transposed_in=True)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+class TestInitDistributed:
+    def test_single_process_noop(self):
+        from tpu_bls12_381.parallel import init_distributed
+
+        assert init_distributed() is False  # no coordinator configured
+
+    def test_two_process_dcn_path(self):
+        """Spawn 2 CPU processes; init_distributed + cross-process sharded
+        NTT roundtrip (gloo standing in for DCN).  See tests/dist_worker.py."""
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+        env = dict(os.environ,
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2")
+        env.pop("XLA_FLAGS", None)  # no virtual-device override in workers
+        procs = [
+            subprocess.Popen([sys.executable, worker],
+                             env=dict(env, JAX_PROCESS_ID=str(i)),
+                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(2)
+        ]
+        outs = []
+        try:
+            for pr in procs:
+                out, _ = pr.communicate(timeout=540)
+                outs.append(out.decode())
+        except subprocess.TimeoutExpired:
+            for pr in procs:
+                pr.kill()
+            pytest.fail("distributed workers timed out")
+        for pr, out in zip(procs, outs):
+            assert pr.returncode == 0, f"worker failed:\n{out[-3000:]}"
+            assert "sharded NTT roundtrip OK" in out
 
 
 class TestBatchShardedNtt:

@@ -68,6 +68,7 @@ class TestConfig:
         assert c.device is DeviceType.AUTO
         assert c.msm_min_k == 15 and c.ntt_min_k == 12
         assert c.precompute_factor == 1 and c.msm_window is None
+        assert c.ntt_max_log_n == 16
 
     def test_thresholds(self, env):
         env("MIDNIGHT_TPU_MIN_K", "10")
@@ -161,6 +162,12 @@ class TestMsmContext:
         for s, got in zip(sets, batch):
             want = ctx.msm(s, A)
             assert bool(np.asarray(pt.jac_eq(FQ_ADAPTER, got, want)))
+
+    def test_warmup_real_shapes(self, rng):
+        """warmup(n, factor) pre-compiles the precomputed-bases path at the
+        production shape (VERDICT warmup-ergonomics item)."""
+        ctx = g1_context()
+        ctx.warmup(N_PTS, factor=2)
 
     def test_async_matches_sync(self, rng):
         ctx = g1_context()

@@ -26,6 +26,11 @@ class FqAdapter:
     faster than the unrolled form on TPU in both compile and runtime.
     """
 
+    # Cost facts consumed by the MSM tuner (msm/pippenger.py): one Fq mul
+    # per mul, one limb plane per coordinate.
+    fq_muls_per_mul = 1
+    limb_planes = 1
+
     def __init__(self, spec):
         self.spec = spec
         self.limb_shape = (spec.num_limbs,)
@@ -78,6 +83,10 @@ class FqAdapter:
 
 class Fq2Adapter:
     """Quadratic extension ops; elements are (c0, c1) tuples of Fq arrays."""
+
+    # Karatsuba mul = 3 Fq muls; every coordinate is two limb planes.
+    fq_muls_per_mul = 3
+    limb_planes = 2
 
     def __init__(self, base: FqAdapter):
         self.base = base

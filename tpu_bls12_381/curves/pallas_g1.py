@@ -28,7 +28,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fields import FQ
 from ..fields.pallas_ops import (
-    LANE_BLOCK,
     _interpret,
     _k_add,
     _k_carry_normalize,
@@ -36,6 +35,7 @@ from ..fields.pallas_ops import (
     _k_mont_mul,
     _k_sub,
     _k_sub_rows,
+    lane_block,
 )
 
 K = FQ.num_limbs
@@ -94,14 +94,14 @@ def jdbl(P):
     batch_shape = P[0].shape[1:]
     flat = lambda c: c.reshape(K, -1)
     n = flat(P[0]).shape[-1]
-    pad = (-n) % LANE_BLOCK
+    pad = (-n) % lane_block()
     arrs = [flat(c) for c in P]
     if pad:
         arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
     width = arrs[0].shape[-1]
-    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     ncol, n0, _one = _consts()
@@ -109,7 +109,7 @@ def jdbl(P):
     X3, Y3, Z3 = pl.pallas_call(
         _dbl_kernel,
         out_shape=(shape, shape, shape),
-        grid=(width // LANE_BLOCK,),
+        grid=(width // lane_block(),),
         in_specs=[data] * 3 + [cspec, n0spec],
         out_specs=(data, data, data),
         interpret=_interpret(),
@@ -181,9 +181,9 @@ def _madd_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, inf2_ref,
 
 def _consts():
     n = np.broadcast_to(FQ.modulus_limbs.astype(np.uint32)[:, None],
-                        (K, LANE_BLOCK))
+                        (K, lane_block()))
     one = np.broadcast_to(FQ.one_mont_limbs.astype(np.uint32)[:, None],
-                          (K, LANE_BLOCK))
+                          (K, lane_block()))
     return (jnp.asarray(np.ascontiguousarray(n)),
             jnp.full((1, 1), FQ.n0_inv, dtype=jnp.uint32),
             jnp.asarray(np.ascontiguousarray(one)))
@@ -260,16 +260,16 @@ def jadd(P, Q):
     batch_shape = P[0].shape[1:]
     flat = lambda c: c.reshape(K, -1)
     n = flat(P[0]).shape[-1]
-    pad = (-n) % LANE_BLOCK
+    pad = (-n) % lane_block()
     arrs = [flat(c) for c in (*P, *jax.tree_util.tree_map(
         lambda c: jnp.broadcast_to(c, P[0].shape), Q))]
     if pad:
         arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
     width = arrs[0].shape[-1]
-    grid = width // LANE_BLOCK
-    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+    grid = width // lane_block()
+    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     ncol, n0, one = _consts()
@@ -418,7 +418,7 @@ def pmadd_signed(P, A, sign):
     batch_shape = X1.shape[1:]
     flat = lambda c: c.reshape(K, -1)
     n = flat(X1).shape[-1]
-    pad = (-n) % LANE_BLOCK
+    pad = (-n) % lane_block()
     arrs = [flat(c) for c in (X1, Y1, Z1, x2, y2)]
     m2 = inf2.reshape(1, -1).astype(jnp.uint32)
     sg = sign.reshape(1, -1).astype(jnp.uint32)
@@ -427,11 +427,11 @@ def pmadd_signed(P, A, sign):
         m2 = jnp.pad(m2, ((0, 0), (0, pad)))
         sg = jnp.pad(sg, ((0, 0), (0, pad)))
     width = arrs[0].shape[-1]
-    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, LANE_BLOCK), lambda i: (0, i),
+    mspec = pl.BlockSpec((1, lane_block()), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     ncol, n0, _one = _consts()
@@ -439,7 +439,7 @@ def pmadd_signed(P, A, sign):
     X3, Y3, Z3 = pl.pallas_call(
         _pmadd_signed_kernel,
         out_shape=(shape, shape, shape),
-        grid=(width // LANE_BLOCK,),
+        grid=(width // lane_block(),),
         in_specs=[data] * 5 + [mspec, mspec, cspec, n0spec],
         out_specs=(data, data, data),
         interpret=_interpret(),
@@ -484,18 +484,18 @@ def pmadd(P, A):
     batch_shape = X1.shape[1:]
     flat = lambda c: c.reshape(K, -1)
     n = flat(X1).shape[-1]
-    pad = (-n) % LANE_BLOCK
+    pad = (-n) % lane_block()
     arrs = [flat(c) for c in (X1, Y1, Z1, x2, y2)]
     m2 = inf2.reshape(1, -1).astype(jnp.uint32)
     if pad:
         arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
         m2 = jnp.pad(m2, ((0, 0), (0, pad)))
     width = arrs[0].shape[-1]
-    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, LANE_BLOCK), lambda i: (0, i),
+    mspec = pl.BlockSpec((1, lane_block()), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     ncol, n0, _one = _consts()
@@ -503,7 +503,7 @@ def pmadd(P, A):
     X3, Y3, Z3 = pl.pallas_call(
         _pmadd_kernel,
         out_shape=(shape, shape, shape),
-        grid=(width // LANE_BLOCK,),
+        grid=(width // lane_block(),),
         in_specs=[data] * 5 + [mspec, cspec, n0spec],
         out_specs=(data, data, data),
         interpret=_interpret(),
@@ -519,15 +519,15 @@ def padd(P, Q):
     batch_shape = P[0].shape[1:]
     flat = lambda c: c.reshape(K, -1)
     n = flat(P[0]).shape[-1]
-    pad = (-n) % LANE_BLOCK
+    pad = (-n) % lane_block()
     arrs = [flat(c) for c in (*P, *jax.tree_util.tree_map(
         lambda c: jnp.broadcast_to(c, P[0].shape), Q))]
     if pad:
         arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
     width = arrs[0].shape[-1]
-    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     ncol, n0, _one = _consts()
@@ -535,7 +535,7 @@ def padd(P, Q):
     X3, Y3, Z3 = pl.pallas_call(
         _padd_kernel,
         out_shape=(shape, shape, shape),
-        grid=(width // LANE_BLOCK,),
+        grid=(width // lane_block(),),
         in_specs=[data] * 6 + [cspec, n0spec],
         out_specs=(data, data, data),
         interpret=_interpret(),
@@ -550,14 +550,14 @@ def pdbl(P):
     batch_shape = P[0].shape[1:]
     flat = lambda c: c.reshape(K, -1)
     n = flat(P[0]).shape[-1]
-    pad = (-n) % LANE_BLOCK
+    pad = (-n) % lane_block()
     arrs = [flat(c) for c in P]
     if pad:
         arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
     width = arrs[0].shape[-1]
-    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     ncol, n0, _one = _consts()
@@ -565,7 +565,7 @@ def pdbl(P):
     X3, Y3, Z3 = pl.pallas_call(
         _pdbl_kernel,
         out_shape=(shape, shape, shape),
-        grid=(width // LANE_BLOCK,),
+        grid=(width // lane_block(),),
         in_specs=[data] * 3 + [cspec, n0spec],
         out_specs=(data, data, data),
         interpret=_interpret(),
@@ -583,19 +583,19 @@ def madd(P, A):
     batch_shape = X1.shape[1:]
     flat = lambda c: c.reshape(K, -1)
     n = flat(X1).shape[-1]
-    pad = (-n) % LANE_BLOCK
+    pad = (-n) % lane_block()
     arrs = [flat(c) for c in (X1, Y1, Z1, x2, y2)]
     m2 = inf2.reshape(1, -1).astype(jnp.uint32)
     if pad:
         arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
         m2 = jnp.pad(m2, ((0, 0), (0, pad)))
     width = arrs[0].shape[-1]
-    grid = width // LANE_BLOCK
-    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+    grid = width // lane_block()
+    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, LANE_BLOCK), lambda i: (0, i),
+    mspec = pl.BlockSpec((1, lane_block()), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     ncol, n0, one = _consts()

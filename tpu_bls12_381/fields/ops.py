@@ -33,7 +33,10 @@ import jax.numpy as jnp
 from .field import FieldSpec
 from .limbs import LIMB_BITS, LIMB_MASK
 
-MASK = jnp.uint32(LIMB_MASK)
+# numpy scalar, not jnp: a module-level jnp constant would initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize()
+# (parallel/mesh.py:init_distributed must run before any backend touch).
+MASK = np.uint32(LIMB_MASK)
 
 
 def _const_limbs(arr: np.ndarray, batch_ndim: int):

@@ -34,11 +34,32 @@ from jax.experimental.pallas import tpu as pltpu
 from .field import FieldSpec
 from .limbs import LIMB_BITS, LIMB_MASK
 
-# Elements per grid step.  Swept on v5e: 2048 is best for both Fr and Fq.
-# On non-TPU backends the kernels run in interpret mode where per-lane cost
-# is pure overhead — keep blocks small so CI stays fast.
-LANE_BLOCK = 2048 if jax.default_backend() == "tpu" else 256
 MASK = LIMB_MASK  # python int: pallas kernels may not capture traced constants
+
+_LANE_BLOCK: int | None = None
+
+
+def lane_block() -> int:
+    """Elements per grid step.  Swept on v5e: 2048 is best for Fr and Fq.
+
+    On non-TPU backends the kernels run in interpret mode where per-lane
+    cost is pure overhead — small blocks keep CI fast.  Resolved lazily
+    (and exposed as the module attribute ``LANE_BLOCK`` via __getattr__):
+    an import-time ``jax.default_backend()`` would initialize the XLA
+    backend and break ``jax.distributed.initialize``.
+    """
+    global _LANE_BLOCK
+    if _LANE_BLOCK is None:
+        from ..tuning import chip_profile
+
+        _LANE_BLOCK = chip_profile().lane_block
+    return _LANE_BLOCK
+
+
+def __getattr__(name: str):
+    if name == "LANE_BLOCK":
+        return lane_block()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def _interpret() -> bool:
@@ -123,7 +144,7 @@ def _rows_of(ref, K):
 def _consts(spec: FieldSpec):
     """Modulus rows (K, LANE_BLOCK) + n0 (1, 1) as kernel inputs."""
     n = np.broadcast_to(
-        spec.modulus_limbs.astype(np.uint32)[:, None], (spec.num_limbs, LANE_BLOCK)
+        spec.modulus_limbs.astype(np.uint32)[:, None], (spec.num_limbs, lane_block())
     )
     return jnp.asarray(np.ascontiguousarray(n)), jnp.full((1, 1), spec.n0_inv,
                                                           dtype=jnp.uint32)
@@ -135,7 +156,7 @@ def _blockify(spec: FieldSpec, arrays):
     batch_shape = arrays[0].shape[1:]
     flats = [a.reshape(K, -1) for a in arrays]
     n = flats[0].shape[-1]
-    pad = (-n) % LANE_BLOCK
+    pad = (-n) % lane_block()
     if pad:
         flats = [jnp.pad(a, ((0, 0), (0, pad))) for a in flats]
     return flats, n, batch_shape
@@ -147,9 +168,9 @@ def _unblockify(spec: FieldSpec, out, n, batch_shape):
 
 def _specs(K: int, n_in: int):
     """Block specs: n_in data blocks + modulus block + n0 scalar."""
-    data = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, i),
+    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    nblk = pl.BlockSpec((K, LANE_BLOCK), lambda i: (0, 0),
+    nblk = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
     n0blk = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     return [data] * n_in + [nblk, n0blk], data
@@ -158,7 +179,7 @@ def _specs(K: int, n_in: int):
 def _run(spec: FieldSpec, kernel, arrays, n_out: int = 1):
     flats, n, batch_shape = _blockify(spec, arrays)
     K = spec.num_limbs
-    grid = flats[0].shape[-1] // LANE_BLOCK
+    grid = flats[0].shape[-1] // lane_block()
     in_specs, data = _specs(K, len(flats))
     ncol, n0 = _consts(spec)
     shape = jax.ShapeDtypeStruct(flats[0].shape, jnp.uint32)

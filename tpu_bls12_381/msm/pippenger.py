@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants
+from ..tuning import chip_profile
 from ..curves import points as pt
 from ..curves import projective as pj
 from ..curves.field_adapters import FQ_ADAPTER, FQ2_ADAPTER
@@ -71,7 +72,7 @@ g_double = pj.proj_double_fast
 FR_BITS = 255
 
 
-def window_bits_for(n: int) -> int:
+def window_bits_for(n: int, F=None) -> int:
     """Window size heuristic (analog of the table in msm.cuh:115-133).
 
     TPU cost model (profiled on v5e at 2^16): per-window cost is dominated
@@ -81,11 +82,22 @@ def window_bits_for(n: int) -> int:
     scales with T = ceil(255/w)+1).  Measured: w=15 beats w=11 by ~1.7x
     at 2^16; w=16 wins only at 2^22+ where the sort/gather cost per
     window dominates the doubled bucket-tile work.
+
+    ``F``: the curve's field adapter.  For G2 (Fq2) every bucket op is
+    3 Fq muls on 2x the limb planes, so the 2^(w-1)-bucket triangle work
+    stops being "nearly free" one bit earlier — the cap drops by one
+    (gpu_config.cuh's per-kernel strategy tables keep the analogous
+    G1/G2 distinction via the templated launch configs).
     """
     if n <= 0:
         return 4
+    prof = chip_profile()
     ln = max(1, n).bit_length() - 1
-    return int(np.clip(ln - 1, 4, 16 if ln >= 22 else 15))
+    cap = (prof.msm_window_cap_large if ln >= prof.msm_large_log_n
+           else prof.msm_window_cap_small)
+    if F is not None and getattr(F, "fq_muls_per_mul", 1) > 1:
+        cap -= 1
+    return int(np.clip(ln - 1, 4, cap))
 
 
 def triangle_lb(nb: int) -> int:
@@ -96,16 +108,22 @@ def triangle_lb(nb: int) -> int:
     return max(min(128, nb), 1 << (nb.bit_length() // 2))
 
 
-def lane_tile_for(n: int) -> int:
+def lane_tile_for(n: int, F=None) -> int:
     """Lane width L for the bucket-accumulation tile (R = ceil(n/L) rows).
 
     Cost model: the row scan is R sequential mixed adds, the column
     stitch is log2(L) sequential lane adds — balance R against log2(L)
     with wide lanes to keep the VPU full (profiled sweet spot at 2^16 is
     L=4096/R=16, where scan and stitch each cost ~58ms).
+
+    For G2 (``F.limb_planes == 2``) the VMEM-resident tile holds twice
+    the bytes per lane, so the cap is one step narrower.
     """
     ln = max(4, n).bit_length() - 1
-    return 1 << int(np.clip((ln + 8) // 2, 3, 15))
+    cap = chip_profile().msm_lane_tile_log_cap
+    if F is not None and getattr(F, "limb_planes", 1) > 1:
+        cap -= 1
+    return 1 << int(np.clip((ln + 8) // 2, 3, cap))
 
 
 @partial(jax.jit, static_argnums=1)
@@ -488,10 +506,10 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
         raise ValueError(f"MSM size {n} exceeds 2^{constants.MAX_MSM_LOG_SIZE}")
     if scalars_montgomery:
         scalars = ops.from_mont(FR, scalars)
-    w = window_bits or window_bits_for(n)
+    w = window_bits or window_bits_for(n, F)
     nb = 1 << (w - 1)
     # lane width: ~sqrt(n), power of two, within [8, 2048]
-    L = lane_tile_for(n)
+    L = lane_tile_for(n, F)
     R = -(-n // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
 
@@ -585,9 +603,9 @@ def msm_batch_shared(F, scalars_b, A, *, window_bits: int | None = None,
     B = scalars_b.shape[1]
     if scalars_montgomery:
         scalars_b = ops.from_mont(FR, scalars_b)
-    w = window_bits or window_bits_for(n_eff // max(factor, 1))
+    w = window_bits or window_bits_for(n_eff // max(factor, 1), F)
     nb = 1 << (w - 1)
-    L = lane_tile_for(n_eff)
+    L = lane_tile_for(n_eff, F)
     R = -(-n_eff // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
 
@@ -654,9 +672,9 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
     """
     x, y, inf = A_c
     D, nloc = inf.shape[0], inf.shape[-1]
-    w = window_bits or window_bits_for(nloc)
+    w = window_bits or window_bits_for(nloc, F)
     nb = 1 << (w - 1)
-    L = lane_tile_for(nloc)
+    L = lane_tile_for(nloc, F)
     R = -(-nloc // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
     T = num_windows(w)
@@ -723,9 +741,9 @@ def msm_traceable(F, scalars, A, *, window_bits: int | None = None,
     n = inf.shape[-1]
     if scalars_montgomery:
         scalars = ops.from_mont(FR, scalars)
-    w = window_bits or window_bits_for(n)
+    w = window_bits or window_bits_for(n, F)
     nb = 1 << (w - 1)
-    L = lane_tile_for(n)
+    L = lane_tile_for(n, F)
     R = -(-n // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
 
@@ -815,7 +833,7 @@ def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
         scalars = ops.from_mont(FR, scalars)
     w = window_bits
     nb = 1 << (w - 1)
-    L = lane_tile_for(n_eff)
+    L = lane_tile_for(n_eff, F)
     R = -(-n_eff // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
 

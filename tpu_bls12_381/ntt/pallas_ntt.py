@@ -44,8 +44,12 @@ from ..oracle import root_of_unity
 K = FR.num_limbs
 
 # VMEM budget: ~6 live (BB, m) copies of K limb planes during the ladder.
-# BB * m <= 2^14 keeps that under ~8 MB.
-_TILE_ELEMS = 1 << 14
+# BB * m <= 2^14 keeps that under ~8 MB on v5e; the ceiling comes from the
+# detected chip profile (tuning.py, gpu_config.cuh analog).
+def _tile_elems() -> int:
+    from ..tuning import chip_profile
+
+    return 1 << chip_profile().ntt_tile_log_elems
 
 
 def _stage_twiddles(dom_tw, m: int):
@@ -70,7 +74,7 @@ def _stage_twiddles(dom_tw, m: int):
 
 def _tile_block(m: int, b: int) -> int:
     """Rows per grid step: VMEM-bounded, never more than the batch."""
-    return max(1, min(b, _TILE_ELEMS // m))
+    return max(1, min(b, _tile_elems() // m))
 
 
 def _ntt_tile_kernel_factory(m: int, BB: int, fold_w: bool, fold_scale: bool):

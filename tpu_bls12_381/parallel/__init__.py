@@ -7,13 +7,23 @@ kernels per shard, and ICI collectives (`all_gather` / `all_to_all`) for
 the combine steps.
 """
 
-from .mesh import default_mesh, shard_axis
+from .mesh import default_mesh, init_distributed, shard_axis
 from .msm import msm_sharded, msm_g1_sharded, msm_g2_sharded
-from .ntt import ntt_sharded, intt_sharded, ntt_batch_sharded, build_step_twiddles
+from .ntt import (
+    ntt_sharded,
+    intt_sharded,
+    ntt_batch_sharded,
+    coset_ntt_sharded,
+    coset_intt_sharded,
+    build_step_twiddles,
+)
 
 __all__ = [
     "default_mesh",
+    "init_distributed",
     "shard_axis",
+    "coset_ntt_sharded",
+    "coset_intt_sharded",
     "msm_sharded",
     "msm_g1_sharded",
     "msm_g2_sharded",

@@ -186,6 +186,65 @@ def intt_sharded(x, mesh, *, transposed_in: bool = False):
     return _ntt_sharded_impl(x, mesh, True, transposed_in, False)
 
 
+_COSET_SHARD_CACHE: dict = {}
+
+
+def coset_powers_sharded(shift: int, n: int, mesh, inverse: bool = False):
+    """[s^0, .., s^(n-1)] Montgomery, (K, n) sharded along the element axis.
+
+    Same doubling construction as the single-chip table
+    (ntt/domain.py:_powers_on_device), jitted with sharded output and
+    cached per (shift, n, direction, mesh).
+    """
+    key = (shift, n, inverse, tuple(d.id for d in mesh.devices.flat))
+    with _STEP_TW_LOCK:
+        got = _COSET_SHARD_CACHE.get(key)
+    if got is not None:
+        return got
+    base = pow(shift, FR.modulus - 2, FR.modulus) if inverse else shift
+    seed = _powers_on_device(base, 1)  # (K, 1) = [1]... actually s^0
+    cur0 = _powers_on_device(base, 2)[:, 1:]  # (K, 1) = [s]
+    sharding = NamedSharding(mesh, P(None, SHARD_AXIS))
+
+    @partial(jax.jit, out_shardings=sharding)
+    def build(p, cur):
+        total = 1
+        while total < n:
+            step = jnp.broadcast_to(cur, p.shape)
+            p = jnp.concatenate([p, ops.mont_mul(FR, p, step)], axis=-1)
+            cur = ops.mont_sqr(FR, cur)
+            total *= 2
+        return p[:, :n]
+
+    cp = build(seed, cur0)
+    with _STEP_TW_LOCK:
+        _COSET_SHARD_CACHE[key] = cp
+    return cp
+
+
+def coset_ntt_sharded(x, mesh, shift: int, *, transposed_out: bool = False):
+    """Sharded coset NTT: evaluate on {shift * omega^i} over the mesh.
+
+    Elementwise multiply by sharded shift powers, then the four-step
+    sharded NTT — the same decomposition as the single-chip path
+    (ntt/ntt.py:coset_ntt; reference ntt.cuh:128-220) with the
+    coset-power table built shard-local.
+    """
+    n = x.shape[-1]
+    cp = coset_powers_sharded(shift, n, mesh)
+    sharding = NamedSharding(mesh, P(None, SHARD_AXIS))
+    mul = jax.jit(partial(ops.mont_mul, FR), out_shardings=sharding)
+    return ntt_sharded(mul(x, cp), mesh, transposed_out=transposed_out)
+
+
+def coset_intt_sharded(x, mesh, shift: int, *, transposed_in: bool = False):
+    """Inverse of coset_ntt_sharded: sharded iNTT then divide by powers."""
+    y = intt_sharded(x, mesh, transposed_in=transposed_in)
+    cp = coset_powers_sharded(shift, y.shape[-1], mesh, inverse=True)
+    sharding = NamedSharding(mesh, P(None, SHARD_AXIS))
+    return jax.jit(partial(ops.mont_mul, FR), out_shardings=sharding)(y, cp)
+
+
 def ntt_batch_sharded(x, mesh, *, inverse: bool = False):
     """Batch of independent NTTs with the batch axis sharded over the mesh.
 

@@ -25,18 +25,32 @@ class AcceleratorError(RuntimeError):
 class Accelerator:
     """Bundle of MSM (G1/G2) + NTT backends over the current JAX devices."""
 
-    def __init__(self, max_ntt_log_n: int = 16):
+    def __init__(self, max_ntt_log_n: int | None = None):
+        if max_ntt_log_n is None:
+            max_ntt_log_n = config().ntt_max_log_n
         self.g1: MsmContext = g1_context()
         self.g2: MsmContext = g2_context()
         self.ntt: NttContext = NttContext(max_ntt_log_n)
 
     # -- lifecycle ----------------------------------------------------------
 
-    def warmup(self, *, g2: bool = False, n: int = 256) -> None:
-        """Compile-warm the hot paths (warmup_gpu analog, core/mod.rs:161)."""
-        self.g1.warmup(n)
+    def warmup(self, *, g2: bool = False, n: int = 256,
+               factor: int = 1, ntt_log_n: int | None = None) -> None:
+        """Compile-warm the hot paths (warmup_gpu analog, core/mod.rs:161).
+
+        Stage jits are shape-specialized: pass the production MSM size
+        ``n`` (and precompute ``factor``) and NTT ``ntt_log_n`` so first
+        real calls don't pay the compile — e.g.
+        ``warmup(n=1 << 20, ntt_log_n=22)``.
+        """
+        self.g1.warmup(n, factor=factor)
         if g2:
-            self.g2.warmup(max(n // 4, 16))
+            self.g2.warmup(max(n // 4, 16), factor=factor)
+        if ntt_log_n is not None:
+            from ..fields import FR, ops
+
+            x = ops.zeros(FR, (1 << ntt_log_n,))
+            jax.block_until_ready(self.ntt.inverse(self.ntt.forward(x)))
 
     def is_available(self) -> bool:
         try:

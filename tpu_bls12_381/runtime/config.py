@@ -23,6 +23,9 @@ carry over (core/config.rs:52-363):
                            always prepacks full per-stage twiddle tables
                            (the fast-twiddles trade), so the knob is a
                            logged no-op here
+  MIDNIGHT_NTT_MAX_LOG_N   default domain size the Accelerator pre-builds
+                           (default 16; the reference's GpuNttContext::new
+                           max(log_n, 20) analog, core/ntt.rs:342-364)
   MIDNIGHT_SHARDING        auto | none | <int #devices>, default auto
   MIDNIGHT_TRACE           comma list: msm,ntt,vecops,all (timing spans)
 """
@@ -67,6 +70,7 @@ class Config:
     vecops_min_size: int
     precompute_factor: int
     msm_window: int | None
+    ntt_max_log_n: int
     ntt_ordering: str
     ntt_algorithm: str
     sharding: str
@@ -97,6 +101,7 @@ class Config:
             precompute_factor=_int_env("MIDNIGHT_TPU_PRECOMPUTE", 1, 1, 8,
                                        aliases=("MIDNIGHT_GPU_PRECOMPUTE",)),
             msm_window=window or None,
+            ntt_max_log_n=_int_env("MIDNIGHT_NTT_MAX_LOG_N", 16, 0, 32),
             ntt_ordering=os.environ.get("MIDNIGHT_NTT_ORDERING", "NN").upper(),
             ntt_algorithm={"mixedradix": "fourstep"}.get(
                 os.environ.get("MIDNIGHT_NTT_ALGORITHM", "auto").lower(),

@@ -65,7 +65,7 @@ class MsmContext:
         factor = (config().precompute_factor
                   if precompute_factor is None else precompute_factor)
         w = window_bits or config().msm_window or pippenger.window_bits_for(
-            n * max(factor, 1))
+            n * max(factor, 1), self.F)
         with span("msm", f"{self.name}.precompute_bases[f={factor}]"):
             A_dev = tree_map(jnp.asarray, A)
             A_exp = pippenger.expand_bases(self.F, A_dev, w, factor)
@@ -157,8 +157,15 @@ class MsmContext:
 
     # --- misc ---------------------------------------------------------------
 
-    def warmup(self, n: int = 256) -> None:
-        """Compile-warm the MSM stages with a tiny problem (core/msm.rs:931)."""
+    def warmup(self, n: int = 256, *, factor: int = 1,
+               window_bits: int | None = None) -> None:
+        """Compile-warm the MSM stages (core/msm.rs:931 analog).
+
+        Every stage jit is shape-specialized, so pass the *production*
+        ``n`` (and precompute ``factor``) to pre-pay the compile the real
+        workload would hit — e.g. ``warmup(1 << 20, factor=2)``.  The
+        default tiny ``n`` only proves the pipeline works.
+        """
         from ..curves import g1 as g1mod
 
         if self.name == "g1":
@@ -168,7 +175,13 @@ class MsmContext:
 
             A = g2mod.generator_affine((n,))
         scalars = jnp.zeros((16, n), dtype=jnp.uint32).at[0].set(1)
-        out = pippenger.msm(self.F, scalars, A, scalars_montgomery=False)
+        if factor > 1:
+            bases = self.upload_bases(A, precompute_factor=factor,
+                                      window_bits=window_bits)
+            out = self.msm_with_bases(scalars, bases)
+        else:
+            out = pippenger.msm(self.F, scalars, A, window_bits=window_bits,
+                                scalars_montgomery=True)
         jax.block_until_ready(out)
 
     def to_affine(self, P):
