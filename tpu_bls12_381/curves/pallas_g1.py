@@ -33,6 +33,7 @@ from ..fields.pallas_ops import (
     _k_carry_normalize,
     _k_cond_sub_modulus,
     _k_mont_mul,
+    _k_mont_sqr,
     _k_sub,
     _k_sub_rows,
     lane_block,
@@ -55,15 +56,16 @@ def _k_cmov(mask, a_rows, b_rows):
 def _k_dbl(n_rows, n0, X, Y, Z):
     """dbl-2009-l (a=0) on limb rows; complete for Z=0."""
     mul = lambda a, b: _k_mont_mul(K, a, b, n_rows, n0)
+    sqr = lambda a: _k_mont_sqr(K, a, n_rows, n0)
     add = lambda a, b: _k_add(a, b, n_rows)
     sub = lambda a, b: _k_sub(a, b, n_rows)
-    A = mul(X, X)
-    B = mul(Y, Y)
-    C = mul(B, B)
-    D = sub(sub(mul(add(X, B), add(X, B)), A), C)
+    A = sqr(X)
+    B = sqr(Y)
+    C = sqr(B)
+    D = sub(sub(sqr(add(X, B)), A), C)
     D = add(D, D)
     E = add(add(A, A), A)
-    G = mul(E, E)
+    G = sqr(E)
     X3 = sub(G, add(D, D))
     C8 = add(C, C)
     C8 = add(C8, C8)
@@ -351,12 +353,13 @@ def _k_proj_madd(n_rows, n0, X1, Y1, Z1, x2, y2, inf2):
 def _k_proj_dbl(n_rows, n0, X, Y, Z):
     """RCB16 algorithm 9 (a=0): complete doubling, 6M + 2S + mul12."""
     mul = lambda a, b: _k_mont_mul(K, a, b, n_rows, n0)
+    sqr = lambda a: _k_mont_sqr(K, a, n_rows, n0)
     add = lambda a, b: _k_add(a, b, n_rows)
     sub = lambda a, b: _k_sub(a, b, n_rows)
-    t0 = mul(Y, Y)
+    t0 = sqr(Y)
     Z3 = add(add(add(t0, t0), add(t0, t0)), add(add(t0, t0), add(t0, t0)))
     t1 = mul(Y, Z)
-    t2 = _k_mul12(mul(Z, Z), n_rows)
+    t2 = _k_mul12(sqr(Z), n_rows)
     X3 = mul(t2, Z3)
     Y3 = add(t0, t2)
     Z3 = mul(t1, Z3)

@@ -61,6 +61,14 @@ def _k2_mul(a, b, n, n0):
     return (_k_sub(v0, v1, n), _k_sub(_k_sub(s, v0, n), v1, n))
 
 
+def _k2_sqr(a, n, n0):
+    """Complex squaring over Fq[u]/(u^2+1): 2 base muls instead of 3
+    ((a0+a1)(a0-a1), 2*a0*a1 — the point.cuh:175-190 analog)."""
+    re = _k_mont_mul(K, _k_add(a[0], a[1], n), _k_sub(a[0], a[1], n), n, n0)
+    m = _k_mont_mul(K, a[0], a[1], n, n0)
+    return (re, _k_add(m, m, n))
+
+
 def _k2_mul12(a, n):
     """3b' = 12(1+u): (c0, c1) -> (12(c0-c1), 12(c0+c1))."""
 
@@ -132,12 +140,13 @@ def _k2_proj_madd(n, n0, X1, Y1, Z1, x2, y2, inf2):
 
 def _k2_proj_dbl(n, n0, X, Y, Z):
     mul = lambda a, b: _k2_mul(a, b, n, n0)
+    sqr = lambda a: _k2_sqr(a, n, n0)
     add = lambda a, b: _k2_add(a, b, n)
     sub = lambda a, b: _k2_sub(a, b, n)
-    t0 = mul(Y, Y)
+    t0 = sqr(Y)
     Z3 = add(add(add(t0, t0), add(t0, t0)), add(add(t0, t0), add(t0, t0)))
     t1 = mul(Y, Z)
-    t2 = _k2_mul12(mul(Z, Z), n)
+    t2 = _k2_mul12(sqr(Z), n)
     X3 = mul(t2, Z3)
     Y3 = add(t0, t2)
     Z3 = mul(t1, Z3)

@@ -97,15 +97,8 @@ def _k_cond_sub_modulus(rows, top_carry, n_rows):
     return [jnp.where(take_d, di, ri) for di, ri in zip(d, rows)]
 
 
-def _k_mont_mul(K, a_rows, b_rows, n_rows, n0):
-    """Unrolled schoolbook + word-serial REDC on per-limb row values."""
-    t = [jnp.zeros_like(a_rows[0]) for _ in range(2 * K + 1)]
-    for i in range(K):
-        for j in range(K):
-            p = a_rows[i] * b_rows[j]
-            t[i + j] = t[i + j] + (p & MASK)
-            t[i + j + 1] = t[i + j + 1] + (p >> LIMB_BITS)
-    t, _ = _k_carry_normalize(t)
+def _k_redc(K, t, n_rows, n0):
+    """Word-serial REDC over a carry-normalized 2K+1-column product."""
     for i in range(K):
         m = (t[i] * n0) & MASK
         for j in range(K):
@@ -116,6 +109,37 @@ def _k_mont_mul(K, a_rows, b_rows, n_rows, n0):
     rows, carry = _k_carry_normalize(t[K : 2 * K])
     carry = carry + t[2 * K]
     return _k_cond_sub_modulus(rows, carry, n_rows)
+
+
+def _k_mont_mul(K, a_rows, b_rows, n_rows, n0):
+    """Unrolled schoolbook + word-serial REDC on per-limb row values."""
+    t = [jnp.zeros_like(a_rows[0]) for _ in range(2 * K + 1)]
+    for i in range(K):
+        for j in range(K):
+            p = a_rows[i] * b_rows[j]
+            t[i + j] = t[i + j] + (p & MASK)
+            t[i + j + 1] = t[i + j + 1] + (p >> LIMB_BITS)
+    t, _ = _k_carry_normalize(t)
+    return _k_redc(K, t, n_rows, n0)
+
+
+def _k_mont_sqr(K, a_rows, n_rows, n0):
+    """Montgomery square exploiting product symmetry: K(K+1)/2 limb muls
+    in the product phase instead of K^2 (~23% fewer total with REDC) —
+    the same trick as the reference's optimized squaring
+    (field.cuh:586-685).  Doubled cross terms stay < 2^17, safely inside
+    the deferred-carry uint32 columns (<= K terms per column)."""
+    t = [jnp.zeros_like(a_rows[0]) for _ in range(2 * K + 1)]
+    for i in range(K):
+        p = a_rows[i] * a_rows[i]
+        t[2 * i] = t[2 * i] + (p & MASK)
+        t[2 * i + 1] = t[2 * i + 1] + (p >> LIMB_BITS)
+        for j in range(i + 1, K):
+            p = a_rows[i] * a_rows[j]
+            t[i + j] = t[i + j] + ((p & MASK) << 1)
+            t[i + j + 1] = t[i + j + 1] + ((p >> LIMB_BITS) << 1)
+    t, _ = _k_carry_normalize(t)
+    return _k_redc(K, t, n_rows, n0)
 
 
 def _k_add(rows_a, rows_b, n_rows):
@@ -216,7 +240,7 @@ def mont_sqr(spec: FieldSpec, a):
 
     def kernel(a_ref, n_ref, n0_ref, o_ref):
         ar = _rows_of(a_ref, K)
-        rows = _k_mont_mul(K, ar, ar, _rows_of(n_ref, K), n0_ref[0, 0])
+        rows = _k_mont_sqr(K, ar, _rows_of(n_ref, K), n0_ref[0, 0])
         for i in range(K):
             o_ref[i, :] = rows[i]
 
