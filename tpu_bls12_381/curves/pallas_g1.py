@@ -133,25 +133,26 @@ def _madd_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, inf2_ref,
     inf2 = inf2_ref[0, :] != 0
 
     mul = lambda a, b: _k_mont_mul(K, a, b, n_rows, n0)
+    sqr = lambda a: _k_mont_sqr(K, a, n_rows, n0)
     add = lambda a, b: _k_add(a, b, n_rows)
     sub = lambda a, b: _k_sub(a, b, n_rows)
 
-    Z1Z1 = mul(Z1, Z1)
+    Z1Z1 = sqr(Z1)
     U2 = mul(x2, Z1Z1)
     S2 = mul(mul(y2, Z1), Z1Z1)
     H = sub(U2, X1)
-    HH = mul(H, H)
+    HH = sqr(H)
     I = add(HH, HH)
     I = add(I, I)
     J = mul(H, I)
     rr = sub(S2, Y1)
     r = add(rr, rr)
     V = mul(X1, I)
-    X3 = sub(sub(mul(r, r), J), add(V, V))
+    X3 = sub(sub(sqr(r), J), add(V, V))
     YJ = mul(Y1, J)
     Y3 = sub(mul(r, sub(V, X3)), add(YJ, YJ))
     Z1H = add(Z1, H)
-    Z3 = sub(sub(mul(Z1H, Z1H), Z1Z1), HH)
+    Z3 = sub(sub(sqr(Z1H), Z1Z1), HH)
 
     # edge-case selection (same order as points.jac_add_affine)
     idP = _k_is_zero(Z1)
@@ -206,27 +207,28 @@ def _add_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
     Z2 = [z2_ref[i, :] for i in range(K)]
 
     mul = lambda a, b: _k_mont_mul(K, a, b, n_rows, n0)
+    sqr = lambda a: _k_mont_sqr(K, a, n_rows, n0)
     add = lambda a, b: _k_add(a, b, n_rows)
     sub = lambda a, b: _k_sub(a, b, n_rows)
 
-    Z1Z1 = mul(Z1, Z1)
-    Z2Z2 = mul(Z2, Z2)
+    Z1Z1 = sqr(Z1)
+    Z2Z2 = sqr(Z2)
     U1 = mul(X1, Z2Z2)
     U2 = mul(X2, Z1Z1)
     S1 = mul(mul(Y1, Z2), Z2Z2)
     S2 = mul(mul(Y2, Z1), Z1Z1)
     H = sub(U2, U1)
     H2 = add(H, H)
-    I = mul(H2, H2)
+    I = sqr(H2)
     J = mul(H, I)
     rr = sub(S2, S1)
     r = add(rr, rr)
     V = mul(U1, I)
-    X3 = sub(sub(mul(r, r), J), add(V, V))
+    X3 = sub(sub(sqr(r), J), add(V, V))
     SJ = mul(S1, J)
     Y3 = sub(mul(r, sub(V, X3)), add(SJ, SJ))
     ZZ = add(Z1, Z2)
-    Z3 = mul(sub(sub(mul(ZZ, ZZ), Z1Z1), Z2Z2), H)
+    Z3 = mul(sub(sub(sqr(ZZ), Z1Z1), Z2Z2), H)
 
     idP = _k_is_zero(Z1)
     idQ = _k_is_zero(Z2)
