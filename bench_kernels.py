@@ -94,6 +94,9 @@ def kernel_entries():
     ent.append(("fq_mont_mul",
                 lambda: n_fq / _time(lambda: fast.mont_mul(FQ, a24, b24)),
                 3 * 24 * 4, cnt24["total"]))
+    ent.append(("fq_mont_sqr",
+                lambda: n_fq / _time(lambda: fast.mont_sqr(FQ, a24)),
+                2 * 24 * 4, cnt24["total"]))
 
     # butterfly: (even, odd, w) in, (hi, lo) out = 5 Fr elements of traffic
     w16 = _rand_limbs(FR, n_fr, 5)
