@@ -10,7 +10,9 @@ round (BENCH_BASELINE env or 1.0 on first measurement).
 Config via env:
   BENCH_LOG_N   log2(#points), default 20 (the BASELINE.json headline size)
   BENCH_REPS    timed repetitions, default 3
-  BENCH_METRIC  "msm" (default) or "ntt" (NTT 2^22 wall-clock companion run)
+  BENCH_METRIC  "msm" (default), "ntt" (NTT 2^22 companion), "g2"
+                (G2 MSM), or "batch" (B MSMs over shared cached bases;
+                BENCH_BATCH, default 8, sets B)
 """
 
 from __future__ import annotations
@@ -136,6 +138,38 @@ def bench_msm_g2(log_n: int, reps: int):
     return n / best, best
 
 
+def bench_msm_batch(log_n: int, reps: int, batch: int):
+    """B MSMs over shared cached bases through the single batched pipeline
+    (runtime.msm_context.msm_batch / pippenger.msm_batch_shared), vs the
+    loop of B independent precomputed MSMs it replaces.  Rate counts all
+    B*n points."""
+    from tpu_bls12_381.runtime.msm_context import g1_context
+
+    n = 1 << log_n
+    ctx = g1_context()
+    A = _random_g1_batch(n)
+    jax.block_until_ready(A)
+    bases = ctx.upload_bases(A, precompute_factor=1)
+    scs = [_random_fr_mont(n, seed=11 + i) for i in range(batch)]
+
+    jax.block_until_ready(ctx.msm_batch(scs, bases))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(ctx.msm_batch(scs, bases))
+        best = min(best, time.perf_counter() - t0)
+
+    # loop-of-B comparison leg (the pre-batched implementation)
+    jax.block_until_ready(ctx.msm_with_bases(scs[0], bases))
+    t0 = time.perf_counter()
+    outs = [ctx.msm_with_bases_async(s, bases) for s in scs]
+    jax.block_until_ready([h.wait() for h in outs])
+    loop_secs = time.perf_counter() - t0
+    print(f"# loop-of-{batch} leg: {loop_secs:.4f}s "
+          f"(batched {best:.4f}s, {loop_secs / best:.2f}x)", file=sys.stderr)
+    return batch * n / best, best
+
+
 def bench_ntt(log_n: int, reps: int):
     from tpu_bls12_381.ntt import ntt, get_domain
 
@@ -163,6 +197,11 @@ def main():
         log_n = int(os.environ.get("BENCH_LOG_N", "22"))
         rate, secs = bench_ntt(log_n, reps)
         metric = f"ntt_fr_2e{log_n}_elems_per_s"
+    elif which in ("batch", "msm_batch"):
+        log_n = int(os.environ.get("BENCH_LOG_N", "16"))
+        batch = int(os.environ.get("BENCH_BATCH", "8"))
+        rate, secs = bench_msm_batch(log_n, reps, batch)
+        metric = f"g1_msm_batch{batch}_2e{log_n}_points_per_s"
     elif which in ("g2", "g2_msm"):
         log_n = int(os.environ.get("BENCH_LOG_N", "16"))
         rate, secs = bench_msm_g2(log_n, reps)

@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# Turnkey real-TPU measurement pass: runs every TPU-gated artifact step
+# in priority order, appending to MEASURE_LOG (default /tmp/tpu_measure.log).
+# Each step is independent and timeout-guarded so a flaky tunnel or a
+# single regression doesn't lose the rest.
+#
+# Usage: tools/tpu_measure.sh [step ...]     # default: all steps
+# Steps: probe msm20 msm22 ntt22 g2_16 g2_18 batch sol suite e2e msm24
+set -u
+cd "$(dirname "$0")/.."
+LOG=${MEASURE_LOG:-/tmp/tpu_measure.log}
+STEPS=("$@")
+[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe msm20 msm22 ntt22 g2_16 g2_18 batch sol suite e2e msm24)
+
+run() { # name timeout_s cmd...
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%SZ)) ===" | tee -a "$LOG"
+  timeout "$tmo" "$@" 2>&1 | tee -a "$LOG"
+  local rc=${PIPESTATUS[0]}
+  echo "--- $name rc=$rc" | tee -a "$LOG"
+  return 0
+}
+
+for s in "${STEPS[@]}"; do
+  case $s in
+    probe) run probe 120 python -c "import jax; print(jax.devices())" ;;
+    msm20) BENCH_LOG_N=20 run msm20 1800 python bench.py ;;
+    msm22) BENCH_LOG_N=22 run msm22 2400 python bench.py ;;
+    ntt22) BENCH_METRIC=ntt BENCH_LOG_N=22 run ntt22 1200 python bench.py ;;
+    g2_16) BENCH_METRIC=g2 BENCH_LOG_N=16 run g2_16 1800 python bench.py ;;
+    g2_18) BENCH_METRIC=g2 BENCH_LOG_N=18 run g2_18 2400 python bench.py ;;
+    batch) BENCH_METRIC=batch BENCH_LOG_N=16 BENCH_BATCH=8 run batch 2400 python bench.py ;;
+    sol)   run sol 2400 python bench_kernels.py ;;
+    suite) run suite 3600 tests/run_suite.sh --tpu ;;
+    e2e)   BENCH_E2E_KS=${BENCH_E2E_KS:-14,16,18,20} run e2e 3600 python bench_e2e.py ;;
+    msm24) BENCH_LOG_N=24 BENCH_REPS=1 run msm24 3600 python bench.py ;;
+    *) echo "unknown step: $s" ;;
+  esac
+done
+echo "=== done ($(date -u +%H:%M:%SZ)) ===" | tee -a "$LOG"
