@@ -119,6 +119,53 @@ class TestG1MsmVectors:
             assert _g1_result(msm_g1(_fr_mont(vals), A, window_bits=w)) == base
 
 
+class TestG1MsmGlv:
+    """GLV-split MSM: [k1 || k2] against [A || phi(A)], 128-bit windows."""
+
+    def test_matches_plain(self, rng):
+        from tpu_bls12_381.curves.glv import GLV_LAMBDA
+
+        A, pts = _g1_points(rng, N)
+        vals = [rng.randrange(constants.FR_MODULUS) for _ in range(N - 6)]
+        # decomposition edge scalars: 0, 1, lambda +- 1, r-1, lambda
+        vals += [0, 1, GLV_LAMBDA - 1, GLV_LAMBDA + 1,
+                 constants.FR_MODULUS - 1, GLV_LAMBDA]
+        sc = _fr_mont(vals)
+        got = _g1_result(msm_g1(sc, A, glv=True))
+        want = oracle.jac_to_affine(oracle.msm(vals, pts, oracle.FQ_OPS),
+                                    oracle.FQ_OPS)
+        assert got == want
+
+    def test_identity_points_and_zeros(self, rng):
+        _, pts = _g1_points(rng, N)
+        pts = [None if i % 5 == 0 else p for i, p in enumerate(pts)]
+        A = g1.affine_from_ints(pts)
+        vals = [0 if i % 3 == 0 else rng.randrange(constants.FR_MODULUS)
+                for i in range(N)]
+        got = _g1_result(msm_g1(_fr_mont(vals), A, glv=True))
+        live = [(v, p) for v, p in zip(vals, pts) if p is not None]
+        want = oracle.jac_to_affine(
+            oracle.msm([v for v, _ in live], [p for _, p in live],
+                       oracle.FQ_OPS), oracle.FQ_OPS)
+        assert got == want
+
+    def test_env_flag_routes(self, rng, monkeypatch):
+        from tpu_bls12_381.runtime import reset_config_cache
+
+        A, pts = _g1_points(rng, 16)
+        vals = [rng.randrange(constants.FR_MODULUS) for _ in range(16)]
+        monkeypatch.setenv("MIDNIGHT_MSM_GLV", "1")
+        reset_config_cache()
+        try:
+            got = _g1_result(msm_g1(_fr_mont(vals), A))
+        finally:
+            monkeypatch.delenv("MIDNIGHT_MSM_GLV")
+            reset_config_cache()
+        want = oracle.jac_to_affine(oracle.msm(vals, pts, oracle.FQ_OPS),
+                                    oracle.FQ_OPS)
+        assert got == want
+
+
 class TestG2Msm:
     def test_matches_oracle(self, rng):
         n = 16

@@ -126,8 +126,8 @@ def lane_tile_for(n: int, F=None) -> int:
     return 1 << int(np.clip((ln + 8) // 2, 3, cap))
 
 
-@partial(jax.jit, static_argnums=1)
-def decompose_signed_digits(scalars_std, w: int):
+@partial(jax.jit, static_argnums=(1, 2))
+def decompose_signed_digits(scalars_std, w: int, num_bits: int = FR_BITS):
     """Standard-form Fr scalars (16, N) -> (T, N) |digit| and sign arrays.
 
     T = ceil(255 / w) + 1 (the +1 absorbs the final carry).  Digits are in
@@ -135,8 +135,15 @@ def decompose_signed_digits(scalars_std, w: int):
     Mirrors the signed-digit-with-carry scheme of msm_kernels.cu:68-213.
     Jitted: unfused, the ~20 elementwise passes per window cost more HBM
     round trips than every other stage combined at 2^20.
+
+    ``num_bits < FR_BITS`` (the GLV halves) uses the tight window count
+    ceil((num_bits+1)/w): the top window's raw value plus carry is then
+    <= 2^(w-1), so it can neither flip sign nor carry out.
     """
-    num_windows = -(-FR_BITS // w) + 1
+    if num_bits >= FR_BITS:
+        num_windows = -(-FR_BITS // w) + 1
+    else:
+        num_windows = -(-(num_bits + 1) // w)
     K = scalars_std.shape[0]
     n_shape = scalars_std.shape[1:]
     # pad two zero limb rows for cross-boundary extraction
@@ -180,11 +187,12 @@ def _keys_from_digits(abs_d, signs):
     return jnp.where(abs_d == 0, jnp.uint32(_SENT2), key2)
 
 
-@partial(jax.jit, static_argnums=1)
-def decompose_window_keys(scalars_std, w: int):
+@partial(jax.jit, static_argnums=(1, 2))
+def decompose_window_keys(scalars_std, w: int, num_bits: int = FR_BITS):
     """Standard-form Fr scalars (16, N) -> (T, N) uint32 sort keys
     (bucket << 1 | sign; zero digits -> sentinel)."""
-    return _keys_from_digits(*decompose_signed_digits(scalars_std, w))
+    return _keys_from_digits(
+        *decompose_signed_digits(scalars_std, w, num_bits))
 
 
 def _row_width(nplanes: int) -> int:
@@ -492,13 +500,21 @@ def _stage_to_jac(F, P):
 
 
 def msm(F, scalars, A, *, window_bits: int | None = None,
-        scalars_montgomery: bool = True):
+        scalars_montgomery: bool = True, glv: bool | None = None):
     """MSM: sum_i scalars[i] * A[i] over the curve with field adapter F.
 
     scalars: (16, N) uint32 Fr limbs (Montgomery form by default, matching
     the device convention; the standard-form conversion mirrors
     scalars_from_montgomery_kernel, icicle_curve_api.cu:46-58).
     A: affine batch (x, y, inf).  Returns a single Jacobian point.
+
+    ``glv`` (G1 only; default from MIDNIGHT_MSM_GLV) splits every scalar
+    k = k1 + k2*lambda and runs the pipeline over [k1 || k2] against
+    [A || phi(A)]: half the 255-bit window count on 2n points — the
+    n-linear sort/scan work is unchanged, but the per-window bucket
+    triangle, the Horner combine, and the fixed per-stage dispatch all
+    halve.  (The reference's GLV block, point_ops.cu:103-480, is gated
+    off as "reserved for future optimization"; this is the working form.)
     """
     x, y, inf = A
     n = inf.shape[-1]
@@ -506,6 +522,24 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
         raise ValueError(f"MSM size {n} exceeds 2^{constants.MAX_MSM_LOG_SIZE}")
     if scalars_montgomery:
         scalars = ops.from_mont(FR, scalars)
+    if glv is None:
+        from ..runtime.config import config
+
+        glv = config().msm_glv
+    num_bits = FR_BITS
+    if glv and F is FQ_ADAPTER:
+        from ..curves import glv as glv_mod
+
+        k1, k2 = glv_mod.decompose(scalars)
+        pad = ((0, FR.num_limbs - k2.shape[0]),) + ((0, 0),) * (k2.ndim - 1)
+        k2 = jnp.pad(k2, pad)  # decompose keeps only the live k2 limbs
+        scalars = jnp.concatenate([k1, k2], axis=-1)
+        px, py, pinf = glv_mod.endomorphism(F, A)
+        x = jnp.concatenate([x, px], axis=-1)
+        y = jnp.concatenate([y, py], axis=-1)
+        inf = jnp.concatenate([inf, pinf], axis=-1)
+        n = 2 * n
+        num_bits = glv_mod.GLV_HALF_BITS
     w = window_bits or window_bits_for(n, F)
     nb = 1 << (w - 1)
     # lane width: ~sqrt(n), power of two, within [8, 2048]
@@ -513,7 +547,7 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
     R = -(-n // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
 
-    keys = decompose_window_keys(scalars, w)  # (T, N)
+    keys = decompose_window_keys(scalars, w, num_bits)  # (T, N)
     T = int(keys.shape[0])
     em_rows = _stage_pack_rows(F, x, y)       # (N, W), shared by all windows
 

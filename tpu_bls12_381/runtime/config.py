@@ -70,6 +70,7 @@ class Config:
     vecops_min_size: int
     precompute_factor: int
     msm_window: int | None
+    msm_glv: bool
     ntt_max_log_n: int
     ntt_ordering: str
     ntt_algorithm: str
@@ -101,6 +102,8 @@ class Config:
             precompute_factor=_int_env("MIDNIGHT_TPU_PRECOMPUTE", 1, 1, 8,
                                        aliases=("MIDNIGHT_GPU_PRECOMPUTE",)),
             msm_window=window or None,
+            msm_glv=os.environ.get("MIDNIGHT_MSM_GLV", "0").lower()
+            in ("1", "true", "on", "yes"),
             ntt_max_log_n=_int_env("MIDNIGHT_NTT_MAX_LOG_N", 16, 0, 32),
             ntt_ordering=os.environ.get("MIDNIGHT_NTT_ORDERING", "NN").upper(),
             ntt_algorithm={"mixedradix": "fourstep"}.get(
