@@ -149,6 +149,35 @@ class TestG1MsmGlv:
                        oracle.FQ_OPS), oracle.FQ_OPS)
         assert got == want
 
+    def test_precomputed_bases_glv(self, rng):
+        """upload_bases(glv=True) stores [A || phi(A)]; factor composes."""
+        from tpu_bls12_381.runtime.msm_context import g1_context
+
+        ctx = g1_context()
+        A, pts = _g1_points(rng, N)
+        vals = [rng.randrange(constants.FR_MODULUS) for _ in range(N)]
+        want = oracle.jac_to_affine(oracle.msm(vals, pts, oracle.FQ_OPS),
+                                    oracle.FQ_OPS)
+        for factor in (1, 2):
+            bases = ctx.upload_bases(A, precompute_factor=factor, glv=True)
+            assert bases.glv and bases.n == N
+            got = _g1_result(ctx.msm_with_bases(_fr_mont(vals), bases))
+            assert got == want, f"factor={factor}"
+
+    def test_batch_shared_glv(self, rng):
+        from tpu_bls12_381.runtime.msm_context import g1_context
+
+        ctx = g1_context()
+        A, pts = _g1_points(rng, N)
+        bases = ctx.upload_bases(A, precompute_factor=1, glv=True)
+        sets = [[rng.randrange(constants.FR_MODULUS) for _ in range(N)]
+                for _ in range(3)]
+        outs = ctx.msm_batch([_fr_mont(v) for v in sets], bases)
+        for vals, P in zip(sets, outs):
+            want = oracle.jac_to_affine(oracle.msm(vals, pts, oracle.FQ_OPS),
+                                        oracle.FQ_OPS)
+            assert _g1_result(P) == want
+
     def test_env_flag_routes(self, rng, monkeypatch):
         from tpu_bls12_381.runtime import reset_config_cache
 

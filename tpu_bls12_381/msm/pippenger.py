@@ -140,10 +140,7 @@ def decompose_signed_digits(scalars_std, w: int, num_bits: int = FR_BITS):
     ceil((num_bits+1)/w): the top window's raw value plus carry is then
     <= 2^(w-1), so it can neither flip sign nor carry out.
     """
-    if num_bits >= FR_BITS:
-        num_windows = -(-FR_BITS // w) + 1
-    else:
-        num_windows = -(-(num_bits + 1) // w)
+    n_win = num_windows(w, num_bits)
     K = scalars_std.shape[0]
     n_shape = scalars_std.shape[1:]
     # pad two zero limb rows for cross-boundary extraction
@@ -156,7 +153,7 @@ def decompose_signed_digits(scalars_std, w: int, num_bits: int = FR_BITS):
     abs_digits = []
     signs = []
     carry = jnp.zeros(n_shape, dtype=jnp.uint32)
-    for t in range(num_windows):
+    for t in range(n_win):
         o = w * t
         i0, sh = o >> 4, o & 15
         raw = s[i0] >> jnp.uint32(sh)
@@ -499,6 +496,29 @@ def _stage_to_jac(F, P):
     return pj.proj_to_jac(F, P)
 
 
+def glv_split_scalars(scalars_std):
+    """Standard-form Fr scalars (16, ..., N) -> ([k1 || k2], 128) along the
+    point axis: the GLV halves of k = k1 + k2*lambda, zero-padded back to
+    16 limbs.  Pairs with :func:`glv_extend_bases` / GLV-uploaded bases."""
+    from ..curves import glv as glv_mod
+
+    k1, k2 = glv_mod.decompose(scalars_std)
+    pad = ((0, FR.num_limbs - k2.shape[0]),) + ((0, 0),) * (k2.ndim - 1)
+    k2 = jnp.pad(k2, pad)  # decompose keeps only the live k2 limbs
+    return jnp.concatenate([k1, k2], axis=-1), glv_mod.GLV_HALF_BITS
+
+
+def glv_extend_bases(F, A):
+    """Affine batch A -> [A || phi(A)] (one batched Fq mul by beta)."""
+    from ..curves import glv as glv_mod
+
+    x, y, inf = A
+    px, py, pinf = glv_mod.endomorphism(F, A)
+    return (jnp.concatenate([x, px], axis=-1),
+            jnp.concatenate([y, py], axis=-1),
+            jnp.concatenate([inf, pinf], axis=-1))
+
+
 def msm(F, scalars, A, *, window_bits: int | None = None,
         scalars_montgomery: bool = True, glv: bool | None = None):
     """MSM: sum_i scalars[i] * A[i] over the curve with field adapter F.
@@ -528,18 +548,9 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
         glv = config().msm_glv
     num_bits = FR_BITS
     if glv and F is FQ_ADAPTER:
-        from ..curves import glv as glv_mod
-
-        k1, k2 = glv_mod.decompose(scalars)
-        pad = ((0, FR.num_limbs - k2.shape[0]),) + ((0, 0),) * (k2.ndim - 1)
-        k2 = jnp.pad(k2, pad)  # decompose keeps only the live k2 limbs
-        scalars = jnp.concatenate([k1, k2], axis=-1)
-        px, py, pinf = glv_mod.endomorphism(F, A)
-        x = jnp.concatenate([x, px], axis=-1)
-        y = jnp.concatenate([y, py], axis=-1)
-        inf = jnp.concatenate([inf, pinf], axis=-1)
+        scalars, num_bits = glv_split_scalars(scalars)
+        x, y, inf = glv_extend_bases(F, (x, y, inf))
         n = 2 * n
-        num_bits = glv_mod.GLV_HALF_BITS
     w = window_bits or window_bits_for(n, F)
     nb = 1 << (w - 1)
     # lane width: ~sqrt(n), power of two, within [8, 2048]
@@ -624,28 +635,34 @@ def _stage_boundary_batch(F, key_sorted, col_carry, nb: int, prefix_rows):
 
 
 def msm_batch_shared(F, scalars_b, A, *, window_bits: int | None = None,
-                     factor: int = 1, scalars_montgomery: bool = True):
+                     factor: int = 1, scalars_montgomery: bool = True,
+                     glv: bool = False):
     """B MSMs over shared affine bases in one batched pipeline.
 
     scalars_b: (16, B, N) uint32 Fr limbs (limbs-first, batch in the
     middle).  A: the affine bases — already expanded by
-    :func:`expand_bases` when factor > 1.  Returns a Jacobian point batch
-    with leaves (K, B) — one result per scalar set.
+    :func:`expand_bases` when factor > 1, and GLV-extended beforehand
+    when ``glv`` (scalars are then split to the 128-bit halves here).
+    Returns a Jacobian point batch with leaves (K, B) — one result per
+    scalar set.
     """
     x, y, inf = A
     n_eff = inf.shape[-1]
     B = scalars_b.shape[1]
     if scalars_montgomery:
         scalars_b = ops.from_mont(FR, scalars_b)
+    num_bits = FR_BITS
+    if glv:
+        scalars_b, num_bits = glv_split_scalars(scalars_b)
     w = window_bits or window_bits_for(n_eff // max(factor, 1), F)
     nb = 1 << (w - 1)
     L = lane_tile_for(n_eff, F)
     R = -(-n_eff // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
 
-    abs_d, signs = decompose_signed_digits(scalars_b, w)  # (T, B, N)
+    abs_d, signs = decompose_signed_digits(scalars_b, w, num_bits)  # (T, B, N)
     if factor > 1:
-        Tp = precompute_window_span(w, factor)
+        Tp = precompute_window_span(w, factor, num_bits)
         T0, n0 = abs_d.shape[0], abs_d.shape[-1]
         padw = Tp * factor - T0
         if padw:
@@ -810,24 +827,33 @@ def msm_traceable(F, scalars, A, *, window_bits: int | None = None,
 # -----------------------------------------------------------------------------
 
 
-def num_windows(w: int) -> int:
-    return -(-FR_BITS // w) + 1
+def num_windows(w: int, num_bits: int = FR_BITS) -> int:
+    """Window count for scalars of ``num_bits``.  Full Fr keeps the
+    historical ceil(255/w)+1 (precomputed-base layouts depend on it);
+    shorter scalars (the GLV halves) use the tight ceil((num_bits+1)/w)
+    — the +1 bit is the signed-digit carry."""
+    if num_bits >= FR_BITS:
+        return -(-FR_BITS // w) + 1
+    return -(-(num_bits + 1) // w)
 
 
-def precompute_window_span(w: int, factor: int) -> int:
+def precompute_window_span(w: int, factor: int,
+                           num_bits: int = FR_BITS) -> int:
     """T' — windows per precomputed multiple (shift = w*T' bits)."""
-    return -(-num_windows(w) // factor)
+    return -(-num_windows(w, num_bits) // factor)
 
 
-def expand_bases(F, A, w: int, factor: int):
+def expand_bases(F, A, w: int, factor: int, num_bits: int = FR_BITS):
     """Affine bases (x, y, inf) of n points -> expanded (factor*n) points.
 
     Block j holds 2^(w*T'*j) * P_i (computed by batched doublings on
     device).  Returns the expanded affine batch; run once at setup time.
+    ``num_bits``: scalar bit-length the expansion will serve (128 for
+    GLV-split halves — shrinks the per-block shift).
     """
     if factor <= 1:
         return A
-    span = precompute_window_span(w, factor) * w
+    span = precompute_window_span(w, factor, num_bits) * w
     blocks = [A]
     cur = pj.affine_to_proj(F, A)
     for _ in range(factor - 1):
@@ -839,11 +865,12 @@ def expand_bases(F, A, w: int, factor: int):
     return (xs, ys, infs)
 
 
-def _digits_for_precompute(scalars_std, w: int, factor: int):
+def _digits_for_precompute(scalars_std, w: int, factor: int,
+                           num_bits: int = FR_BITS):
     """(T, N) digit arrays regrouped to (T', factor*N) matching expand_bases."""
-    abs_d, signs = decompose_signed_digits(scalars_std, w)
+    abs_d, signs = decompose_signed_digits(scalars_std, w, num_bits)
     T, n = abs_d.shape[0], abs_d.shape[-1]
-    Tp = precompute_window_span(w, factor)
+    Tp = precompute_window_span(w, factor, num_bits)
     pad = Tp * factor - T
     if pad:
         abs_d = jnp.concatenate([abs_d, jnp.zeros((pad, n), abs_d.dtype)])
@@ -855,23 +882,30 @@ def _digits_for_precompute(scalars_std, w: int, factor: int):
 
 
 def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
-                    scalars_montgomery: bool = True):
-    """MSM against bases expanded by :func:`expand_bases` (same w/factor)."""
-    if factor <= 1:
+                    scalars_montgomery: bool = True, glv: bool = False):
+    """MSM against bases expanded by :func:`expand_bases` (same w/factor).
+
+    ``glv``: the bases were uploaded GLV-extended ([A || phi(A)] before
+    expansion); split the scalars to match and use 128-bit window counts.
+    """
+    if factor <= 1 and not glv:
         return msm(F, scalars, A_expanded,
                    window_bits=window_bits,
-                   scalars_montgomery=scalars_montgomery)
+                   scalars_montgomery=scalars_montgomery, glv=False)
     x, y, inf = A_expanded
     n_eff = inf.shape[-1]
     if scalars_montgomery:
         scalars = ops.from_mont(FR, scalars)
+    num_bits = FR_BITS
+    if glv:
+        scalars, num_bits = glv_split_scalars(scalars)
     w = window_bits
     nb = 1 << (w - 1)
     L = lane_tile_for(n_eff, F)
     R = -(-n_eff // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
 
-    abs_d, signs = _digits_for_precompute(scalars, w, factor)
+    abs_d, signs = _digits_for_precompute(scalars, w, factor, num_bits)
     keys = _keys_from_digits(abs_d, signs)
     em_rows = _stage_pack_rows(F, x, y)
 

@@ -39,10 +39,11 @@ class PrecomputedBases:
     cf. core/msm.rs:641-643's Montgomery-form bookkeeping).
     """
 
-    A: Any  # affine batch (x, y, inf), factor*n points
+    A: Any  # affine batch (x, y, inf), factor*n points (2x when glv)
     n: int
     factor: int
     window_bits: int
+    glv: bool = False
 
     @property
     def is_precomputed(self) -> bool:
@@ -59,18 +60,29 @@ class MsmContext:
     # --- base management (upload_g1_bases / precompute_bases analogs) -----
 
     def upload_bases(self, A, *, precompute_factor: int | None = None,
-                     window_bits: int | None = None) -> PrecomputedBases:
-        """Place bases on device, optionally expanded by a precompute factor."""
+                     window_bits: int | None = None,
+                     glv: bool | None = None) -> PrecomputedBases:
+        """Place bases on device, optionally expanded by a precompute factor.
+
+        ``glv`` (G1 only; default from MIDNIGHT_MSM_GLV) stores
+        [A || phi(A)] and expands for 128-bit scalar halves — every MSM
+        against these bases then runs the GLV-split pipeline.
+        """
         n = A[2].shape[-1]
         factor = (config().precompute_factor
                   if precompute_factor is None else precompute_factor)
+        glv = (config().msm_glv if glv is None else glv) and self.name == "g1"
+        num_bits = 128 if glv else pippenger.FR_BITS
         w = window_bits or config().msm_window or pippenger.window_bits_for(
-            n * max(factor, 1), self.F)
+            n * max(factor, 1) * (2 if glv else 1), self.F)
         with span("msm", f"{self.name}.precompute_bases[f={factor}]"):
             A_dev = tree_map(jnp.asarray, A)
-            A_exp = pippenger.expand_bases(self.F, A_dev, w, factor)
+            if glv:
+                A_dev = pippenger.glv_extend_bases(self.F, A_dev)
+            A_exp = pippenger.expand_bases(self.F, A_dev, w, factor, num_bits)
             jax.block_until_ready(A_exp)
-        return PrecomputedBases(A=A_exp, n=n, factor=factor, window_bits=w)
+        return PrecomputedBases(A=A_exp, n=n, factor=factor, window_bits=w,
+                                glv=glv)
 
     # --- sync MSM ----------------------------------------------------------
 
@@ -109,7 +121,7 @@ class MsmContext:
         out = pippenger.msm_precomputed(
             self.F, scalars, bases.A,
             window_bits=bases.window_bits, factor=bases.factor,
-            scalars_montgomery=scalars_montgomery,
+            scalars_montgomery=scalars_montgomery, glv=bases.glv,
         )
         return AsyncHandle(out)
 
@@ -139,14 +151,14 @@ class MsmContext:
             out = pippenger.msm_precomputed(
                 self.F, scalars_list[0], bases.A,
                 window_bits=bases.window_bits, factor=bases.factor,
-                scalars_montgomery=scalars_montgomery,
+                scalars_montgomery=scalars_montgomery, glv=bases.glv,
             )
             return AsyncHandle([out])
         sc_b = jnp.stack(list(scalars_list), axis=1)  # (16, B, N)
         P = pippenger.msm_batch_shared(
             self.F, sc_b, bases.A,
             window_bits=bases.window_bits, factor=bases.factor,
-            scalars_montgomery=scalars_montgomery,
+            scalars_montgomery=scalars_montgomery, glv=bases.glv,
         )
         B = len(scalars_list)
         outs = [
