@@ -77,6 +77,12 @@ def _random_fr_mont(n: int, seed: int = 3):
                                      FR.num_limbs))
 
 
+# Honest completion barrier: block_until_ready is a no-op on the tunneled
+# axon platform (see runtime/tracing.fence docstring).
+from tpu_bls12_381.runtime.tracing import fence as _fence
+from tpu_bls12_381.runtime.tracing import timed_reps as _timed_reps
+
+
 def bench_msm(log_n: int, reps: int):
     n = 1 << log_n
     scalars = _random_fr_mont(n)
@@ -84,15 +90,9 @@ def bench_msm(log_n: int, reps: int):
     jax.block_until_ready(A)
 
     # warmup: compile all stages + build any cached tables
-    out = msm_g1(scalars, A)
-    jax.block_until_ready(out)
+    _fence(msm_g1(scalars, A))
 
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = msm_g1(scalars, A)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+    best = _timed_reps(reps, lambda: msm_g1(scalars, A))
     return n / best, best
 
 
@@ -127,14 +127,8 @@ def bench_msm_g2(log_n: int, reps: int):
     scalars = _random_fr_mont(n)
     A = _random_g2_batch(n)
     jax.block_until_ready(A)
-    out = msm_g2(scalars, A)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = msm_g2(scalars, A)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+    _fence(msm_g2(scalars, A))
+    best = _timed_reps(reps, lambda: msm_g2(scalars, A))
     return n / best, best
 
 
@@ -152,18 +146,15 @@ def bench_msm_batch(log_n: int, reps: int, batch: int):
     bases = ctx.upload_bases(A, precompute_factor=1)
     scs = [_random_fr_mont(n, seed=11 + i) for i in range(batch)]
 
-    jax.block_until_ready(ctx.msm_batch(scs, bases))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(ctx.msm_batch(scs, bases))
-        best = min(best, time.perf_counter() - t0)
+    _fence(ctx.msm_batch(scs, bases))
+    best = _timed_reps(reps, lambda: ctx.msm_batch(scs, bases))
 
     # loop-of-B comparison leg (the pre-batched implementation)
-    jax.block_until_ready(ctx.msm_with_bases(scs[0], bases))
+    _fence(ctx.msm_with_bases(scs[0], bases))
     t0 = time.perf_counter()
     outs = [ctx.msm_with_bases_async(s, bases) for s in scs]
-    jax.block_until_ready([h.wait() for h in outs])
+    for h in outs:
+        _fence(h.wait())
     loop_secs = time.perf_counter() - t0
     print(f"# loop-of-{batch} leg: {loop_secs:.4f}s "
           f"(batched {best:.4f}s, {loop_secs / best:.2f}x)", file=sys.stderr)
@@ -179,14 +170,8 @@ def bench_ntt(log_n: int, reps: int):
     x = jnp.asarray(
         rng.integers(0, 1 << 16, size=(FR.num_limbs, n), dtype=np.uint64)
     ).astype(jnp.uint32)
-    out = ntt(x, domain=dom)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = ntt(x, domain=dom)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+    _fence(ntt(x, domain=dom))
+    best = _timed_reps(reps, lambda: ntt(x, domain=dom))
     return n / best, best
 
 

@@ -56,13 +56,10 @@ REPS = int(os.environ.get("BENCH_E2E_REPS", "2"))
 
 
 def _timed(fn):
-    jax.block_until_ready(fn())  # compile
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
+    from tpu_bls12_381.runtime.tracing import fence, timed_reps
+
+    fence(fn())  # compile
+    return timed_reps(REPS, fn)
 
 
 def accel_leg(K: int) -> dict:

@@ -53,15 +53,10 @@ def _rand_limbs(spec, n, seed):
 
 
 def _time(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+    from tpu_bls12_381.runtime.tracing import fence, timed_reps
+
+    fence(fn(*args))
+    return timed_reps(REPS, lambda: fn(*args))
 
 
 def _mont_mul_op_count(K: int) -> dict:

@@ -82,8 +82,10 @@ def run(points_per_device_log2: int = 18, ntt_log_n_base: int = 20,
 
 
 def _time(fn) -> float:
+    from tpu_bls12_381.runtime.tracing import fence
+
     t0 = time.perf_counter()
-    jax.block_until_ready(fn())
+    fence(fn())
     return time.perf_counter() - t0
 
 

@@ -29,7 +29,8 @@ if [ "${1:-}" = "--tpu" ]; then
   # Compile-heavy Pallas/kernel files only: the rest of the suite is
   # platform-independent integer math already covered by the CPU run.
   FILES=(tests/test_pallas_ops.py tests/test_fourstep.py
-         tests/test_projective.py tests/test_golden.py)
+         tests/test_projective.py tests/test_golden.py
+         tests/test_tpu_smoke.py)
   SUMMARY=TPU_SUITE.txt
   : > "$SUMMARY"
   {

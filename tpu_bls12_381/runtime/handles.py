@@ -36,7 +36,13 @@ class AsyncHandle:
     def wait(self) -> Any:
         """Block until the device result is ready; return (converted) value."""
         if not self._done:
-            jax.block_until_ready(self._value)
+            # fence, not block_until_ready: the latter can return before the
+            # device pipeline drains on the tunneled axon platform (see
+            # tracing.fence).  Any later fetch would still block, so this is
+            # about making wait()'s contract honest, not correctness.
+            from .tracing import fence
+
+            fence(self._value)
             if self._convert is not None:
                 self._value = self._convert(self._value)
             self._done = True

@@ -29,3 +29,32 @@ def span(tag: str, label: str):
     with jax.profiler.TraceAnnotation(label):
         yield
     logger.info("%s: %.3f ms", label, (time.perf_counter() - t0) * 1e3)
+
+
+def fence(out):
+    """Force completion of the computation producing ``out`` and return it.
+
+    ``jax.block_until_ready`` is a NO-OP on the tunneled axon TPU platform
+    (observed: a ~1 s device pipeline "blocks" in ~10 ms right after a
+    warmup call, making min-over-reps throughput numbers ~100x bogus).
+    Device execution is in-order there, so a D2H copy of a few limbs of
+    one output leaf is a correct and cheap completion barrier on every
+    platform.  All timing harnesses must use this, never block_until_ready.
+    """
+    import numpy as np
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    idx = (Ellipsis,) + (slice(0, 1),) * max(leaf.ndim - 1, 0)
+    np.asarray(leaf[idx])
+    return out
+
+
+def timed_reps(reps: int, fn):
+    """Best-of-``reps`` wall seconds of ``fn()`` under an honest fence."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fence(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
