@@ -27,7 +27,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_bls12_381_jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("BENCH_CACHE_DIR", "/tmp/tpu_bls12_381_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from tpu_bls12_381 import constants
@@ -82,6 +84,17 @@ def _random_fr_mont(n: int, seed: int = 3):
 from tpu_bls12_381.runtime.tracing import fence as _fence
 from tpu_bls12_381.runtime.tracing import timed_reps as _timed_reps
 
+# Cold-start accounting: wall time of the first (compiling) call, reported
+# next to the warmed number so consumers know what warmup()/the persistent
+# cache buys (BENCH_CACHE_DIR=<empty dir> gives the true cold compile).
+_COLD: dict = {}
+
+
+def _timed_first(fn):
+    t0 = time.perf_counter()
+    _fence(fn())
+    _COLD["first_call_s"] = time.perf_counter() - t0
+
 
 def bench_msm(log_n: int, reps: int):
     n = 1 << log_n
@@ -90,7 +103,7 @@ def bench_msm(log_n: int, reps: int):
     jax.block_until_ready(A)
 
     # warmup: compile all stages + build any cached tables
-    _fence(msm_g1(scalars, A))
+    _timed_first(lambda: msm_g1(scalars, A))
 
     best = _timed_reps(reps, lambda: msm_g1(scalars, A))
     return n / best, best
@@ -127,7 +140,7 @@ def bench_msm_g2(log_n: int, reps: int):
     scalars = _random_fr_mont(n)
     A = _random_g2_batch(n)
     jax.block_until_ready(A)
-    _fence(msm_g2(scalars, A))
+    _timed_first(lambda: msm_g2(scalars, A))
     best = _timed_reps(reps, lambda: msm_g2(scalars, A))
     return n / best, best
 
@@ -146,7 +159,7 @@ def bench_msm_batch(log_n: int, reps: int, batch: int):
     bases = ctx.upload_bases(A, precompute_factor=1)
     scs = [_random_fr_mont(n, seed=11 + i) for i in range(batch)]
 
-    _fence(ctx.msm_batch(scs, bases))
+    _timed_first(lambda: ctx.msm_batch(scs, bases))
     best = _timed_reps(reps, lambda: ctx.msm_batch(scs, bases))
 
     # loop-of-B comparison leg (the pre-batched implementation)
@@ -170,7 +183,7 @@ def bench_ntt(log_n: int, reps: int):
     x = jnp.asarray(
         rng.integers(0, 1 << 16, size=(FR.num_limbs, n), dtype=np.uint64)
     ).astype(jnp.uint32)
-    _fence(ntt(x, domain=dom))
+    _timed_first(lambda: ntt(x, domain=dom))
     best = _timed_reps(reps, lambda: ntt(x, domain=dom))
     return n / best, best
 
@@ -211,7 +224,10 @@ def main():
         "unit": "elems/s" if which == "ntt" else "points/s",
         "vs_baseline": round(vs, 4),
     }))
-    print(f"# wall={secs:.4f}s device={jax.devices()[0].platform}", file=sys.stderr)
+    first = _COLD.get("first_call_s")
+    cold = f" first_call={first:.2f}s" if first is not None else ""
+    print(f"# wall={secs:.4f}s device={jax.devices()[0].platform}{cold}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -98,7 +98,13 @@ def cpu_leg(K: int) -> dict:
         t0 = time.perf_counter()
         native.msm_host(sc, pts, "g1")
         one = time.perf_counter() - t0
+        # ESTIMATE: commit = B x one timed host MSM (the host Pippenger has
+        # no batch mode; its per-MSM cost is batch-independent, unlike the
+        # reference's table which times real batched phases,
+        # test_e2e_proof_benchmark.rs.diff:130-177).  Flagged in E2E.json
+        # as commit_estimated.
         t["commit"] = one * B_COMMIT
+        t["commit_estimated"] = True
         t["open"] = one
     coeffs = _random_fr_mont(dom_n, seed=20)
     get_domain(K + 1)
@@ -107,7 +113,7 @@ def cpu_leg(K: int) -> dict:
     t["vecops"] = _timed(lambda: vecops.vector_mul(FR, ev, ev))
     prod = vecops.vector_mul(FR, ev, ev)
     t["intt"] = _timed(lambda: coset_intt(prod, SHIFT))
-    t["total"] = sum(t.values())
+    t["total"] = sum(v for k, v in t.items() if k != "commit_estimated")
     return t
 
 

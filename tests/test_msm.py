@@ -195,6 +195,45 @@ class TestG1MsmGlv:
         assert got == want
 
 
+class TestMemoryChunking:
+    """HBM-budget chunking (core/msm.rs:1136-1141 analog + the 2^24 path):
+    a tiny MIDNIGHT_MSM_HBM_BUDGET_MB forces the sequential split, which
+    must be bit-identical to the single-shot pipeline."""
+
+    def test_single_msm_chunked_matches(self, rng, monkeypatch):
+        from tpu_bls12_381.msm import pippenger
+
+        A, pts = _g1_points(rng, N)
+        vals = [rng.randrange(constants.FR_MODULUS) for _ in range(N)]
+        want = _g1_result(msm_g1(_fr_mont(vals), A))
+        bpp = pippenger._msm_bytes_per_point(pippenger.FQ_ADAPTER)
+        # budget for ~N/4 points -> 4 sequential pieces
+        monkeypatch.setattr(pippenger, "_hbm_budget_bytes",
+                            lambda: (N // 4) * bpp)
+        got = _g1_result(msm_g1(_fr_mont(vals), A))
+        assert got == want
+
+    def test_batch_shared_chunked_matches(self, rng, monkeypatch):
+        from tpu_bls12_381.msm import pippenger
+        from tpu_bls12_381.runtime.msm_context import g1_context
+
+        ctx = g1_context()
+        A, pts = _g1_points(rng, N)
+        bases = ctx.upload_bases(A, precompute_factor=1, glv=False)
+        sets = [[rng.randrange(constants.FR_MODULUS) for _ in range(N)]
+                for _ in range(4)]
+        want = [_g1_result(P) for P in
+                ctx.msm_batch([_fr_mont(v) for v in sets], bases)]
+        C = pippenger._coord_planes(pippenger.FQ_ADAPTER)
+        W = pippenger._row_width(2 * C)
+        # room for ~2 batch members per shot -> 2 sequential groups
+        budget = 4 * W * N + 2 * 4 * (W + 5 * C) * N
+        monkeypatch.setattr(pippenger, "_hbm_budget_bytes", lambda: budget)
+        got = [_g1_result(P) for P in
+               ctx.msm_batch([_fr_mont(v) for v in sets], bases)]
+        assert got == want
+
+
 class TestG2Msm:
     def test_matches_oracle(self, rng):
         n = 16

@@ -137,7 +137,9 @@ class TestMsmContext:
         want = ctx.msm(scalars, A)
         for factor in (2, 4):
             bases = ctx.upload_bases(A, precompute_factor=factor)
-            assert bases.A[2].shape[-1] == N_PTS * factor
+            # GLV-auto may extend bases with the endomorphism image (x2)
+            assert bases.A[2].shape[-1] == (
+                N_PTS * factor * (2 if bases.glv else 1))
             got = ctx.msm_with_bases(scalars, bases)
             assert bool(np.asarray(pt.jac_eq(FQ_ADAPTER, got, want)))
 

@@ -8,9 +8,10 @@
 # Steps: probe msm20 msm22 ntt22 g2_16 g2_18 batch sol suite e2e msm24
 set -u
 cd "$(dirname "$0")/.."
-LOG=${MEASURE_LOG:-/tmp/tpu_measure.log}
+mkdir -p artifacts
+LOG=${MEASURE_LOG:-artifacts/tpu_measure.log}
 STEPS=("$@")
-[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe msm20 msm22 ntt22 g2_16 g2_18 batch sol suite e2e msm24)
+[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe msm20 msm22 ntt22 g2_16 g2_18 batch sol suite e2e msm24 scaling)
 
 run() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
@@ -34,6 +35,8 @@ for s in "${STEPS[@]}"; do
     suite) run suite 3600 tests/run_suite.sh --tpu ;;
     e2e)   BENCH_E2E_KS=${BENCH_E2E_KS:-14,16,18,20} run e2e 3600 python bench_e2e.py ;;
     msm24) BENCH_LOG_N=24 BENCH_REPS=1 run msm24 3600 python bench.py ;;
+    scaling) BENCH_FORCE_CPU=1 XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+             run scaling 3600 python bench_scaling.py ;;
     *) echo "unknown step: $s" ;;
   esac
 done

@@ -70,6 +70,9 @@ g_neg = pj.proj_neg
 g_double = pj.proj_double_fast
 
 FR_BITS = 255
+# curves/glv.GLV_HALF_BITS mirrored statically (glv imports lazily here to
+# keep module load light; the value is a lattice fact, not tunable).
+GLV_HALF_BITS_STATIC = 128
 
 
 def window_bits_for(n: int, F=None) -> int:
@@ -519,6 +522,48 @@ def glv_extend_bases(F, A):
             jnp.concatenate([inf, pinf], axis=-1))
 
 
+# -----------------------------------------------------------------------------
+# HBM-budget accounting (msm.cuh:42-45's "GPU memory ~= 3-4x input" analog).
+#
+# The pipeline's working set per point: the element-major table, the sorted
+# tile (both W u32 columns), the gathered x/y coordinate rows, and the
+# projective prefix rows (3 coordinates).  When an MSM (or a shared-bases
+# batch) would exceed the budget, the point (or batch) axis is split into
+# sequential pieces that reuse the same compiled stages — the memory-aware
+# chunking the reference documents for batch MSM (core/msm.rs:1136-1141),
+# extended here to single MSMs so the 2^24 cap (constants.MAX_MSM_LOG_SIZE)
+# is actually reachable on a 16 GB chip.
+# -----------------------------------------------------------------------------
+
+
+def _msm_bytes_per_point(F) -> int:
+    """Approximate pipeline working-set bytes per point (u32 planes).
+
+    em+tile rows, gathered x/y rows, 3-coordinate prefix rows, the input
+    affine batch itself, and a 25% margin for XLA transients (calibrated
+    on v5e: a 2^23-point G1 pipeline at ~1.55 KB/pt overflows a 16 GB
+    chip, 2^22 at ~6.3 GB runs)."""
+    C = _coord_planes(F)          # planes per affine coordinate
+    W = _row_width(2 * C)
+    return 4 * (2 * W + 7 * C) * 5 // 4
+
+
+def _hbm_budget_bytes() -> int:
+    """Pipeline HBM budget (MIDNIGHT_MSM_HBM_BUDGET_MB, default 8 GiB —
+    half of a v5e's 16 GB, leaving headroom for XLA scratch and the
+    caller's own buffers)."""
+    import os
+
+    mb = int(os.environ.get("MIDNIGHT_MSM_HBM_BUDGET_MB", "8192"))
+    return mb << 20
+
+
+def _split_points(n: int, budget: int, bpp: int) -> int:
+    """Number of sequential point-chunks needed to fit the budget."""
+    need = -(-n * bpp // budget)
+    return max(1, need)
+
+
 def msm(F, scalars, A, *, window_bits: int | None = None,
         scalars_montgomery: bool = True, glv: bool | None = None):
     """MSM: sum_i scalars[i] * A[i] over the curve with field adapter F.
@@ -545,7 +590,36 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
     if glv is None:
         from ..runtime.config import config
 
-        glv = config().msm_glv
+        mode = config().msm_glv
+        if mode == "auto":
+            # GLV halves the window count but doubles the point set; it
+            # wins (+25% measured at 2^20 on v5e) only while the doubled
+            # pipeline still fits the HBM budget in ONE shot — once
+            # chunking kicks in, 2 pieces x T/2 windows is the same work
+            # as 1 x T and the split overhead loses.
+            glv = (F is FQ_ADAPTER and
+                   2 * n * _msm_bytes_per_point(F) <= _hbm_budget_bytes())
+        else:
+            glv = mode == "on"
+    glv = bool(glv) and F is FQ_ADAPTER
+    n_budget = n * (2 if glv else 1)
+    n_pieces = _split_points(n_budget, _hbm_budget_bytes(),
+                             _msm_bytes_per_point(F))
+    if n_pieces > 1:
+        # Sequential point-chunks; equal sizes so the staged jits compile
+        # once and every later piece reuses them.  Partials combine by the
+        # group law (sum over points distributes over any partition).
+        per = -(-n // n_pieces)
+        parts = []
+        for s in range(0, n, per):
+            e = min(s + per, n)
+            Ai = (tree_map(lambda c: c[..., s:e], x),
+                  tree_map(lambda c: c[..., s:e], y), inf[..., s:e])
+            parts.append(msm(F, scalars[..., s:e], Ai,
+                             window_bits=window_bits,
+                             scalars_montgomery=False, glv=glv))
+        stacked = tree_map(lambda *cs: jnp.stack(cs, axis=-1), *parts)
+        return pt.sum_reduce(F, stacked)
     num_bits = FR_BITS
     if glv and F is FQ_ADAPTER:
         scalars, num_bits = glv_split_scalars(scalars)
@@ -649,6 +723,26 @@ def msm_batch_shared(F, scalars_b, A, *, window_bits: int | None = None,
     x, y, inf = A
     n_eff = inf.shape[-1]
     B = scalars_b.shape[1]
+    # Memory-aware batch chunking (core/msm.rs:1136-1141 analog): the
+    # batched tiles scale with B while the element-major table is shared,
+    # so cap the per-shot group size by the HBM budget and run groups
+    # sequentially (equal sizes -> the staged jits compile once).
+    C = _coord_planes(F)
+    W = _row_width(2 * C)
+    shared = 4 * W * n_eff
+    per_b = 4 * (W + 5 * C) * n_eff
+    room = max(_hbm_budget_bytes() - shared, per_b)
+    bg = max(1, min(B, room // per_b))
+    if bg < B:
+        ngroups = -(-B // bg)
+        per = -(-B // ngroups)
+        parts = []
+        for s in range(0, B, per):
+            parts.append(msm_batch_shared(
+                F, scalars_b[:, s:s + per], A, window_bits=window_bits,
+                factor=factor, scalars_montgomery=scalars_montgomery,
+                glv=glv))
+        return tree_map(lambda *cs: jnp.concatenate(cs, axis=-1), *parts)
     if scalars_montgomery:
         scalars_b = ops.from_mont(FR, scalars_b)
     num_bits = FR_BITS
@@ -707,12 +801,26 @@ def msm_batch_shared(F, scalars_b, A, *, window_bits: int | None = None,
 
 
 def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
-                scalars_montgomery: bool = True, mapper: str = "pmap"):
+                scalars_montgomery: bool = True, mapper: str = "pmap",
+                glv: bool = False, factor: int = 1):
     """MSM over chunked inputs; returns per-chunk Jacobian points (D leading).
 
-    scalars_c: (D, 16, nloc) uint32; A_c leaves (D, K, nloc) / inf (D, nloc).
+    scalars_c: (D, 16, mloc) uint32; A_c leaves (D, K, nloc) / inf (D, nloc).
     Result: Jacobian point with leaves (D, K) — one partial MSM per chunk;
     group-add them for the total (parallel/msm.py::_combine_chunks).
+
+    ``glv`` (G1 only): each chunk's scalars are split to the GLV halves and
+    its bases extended with the endomorphism image in-chunk — the sharded
+    path gets the same window-halving the single-chip path has (the
+    reference composes precompute with every MSM variant,
+    core/msm.rs:594-651; GLV composes the same way here).
+
+    ``factor`` > 1: ``A_c`` holds per-chunk bases already expanded by
+    :func:`expand_bases` (with this ``window_bits``/``factor`` and, when
+    ``glv``, GLV-extended *before* expansion) — chunk the expanded array so
+    every chunk carries its own factor blocks (chunk each block, then
+    concatenate per chunk: :func:`parallel.msm.chunk_msm_inputs` handles
+    the layout).
 
     mapper:
       "pmap" — one chunk per local device, stages compiled once as plain
@@ -723,12 +831,19 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
     """
     x, y, inf = A_c
     D, nloc = inf.shape[0], inf.shape[-1]
-    w = window_bits or window_bits_for(nloc, F)
+    glv = glv and F is FQ_ADAPTER
+    num_bits = GLV_HALF_BITS_STATIC if glv else FR_BITS
+    factor = max(factor, 1)
+    # base count per chunk after in-chunk GLV extension (factor>1 bases
+    # arrive pre-extended, so only factor==1 doubles here)
+    n_eff = nloc * (2 if glv and factor == 1 else 1)
+    w = window_bits or window_bits_for(n_eff // factor, F)
     nb = 1 << (w - 1)
-    L = lane_tile_for(nloc, F)
-    R = -(-nloc // L)
+    L = lane_tile_for(n_eff, F)
+    R = -(-n_eff // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
-    T = num_windows(w)
+    T = (precompute_window_span(w, factor, num_bits) if factor > 1
+         else num_windows(w, num_bits))
 
     if mapper == "pmap":
         mapf = jax.pmap
@@ -736,13 +851,20 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
         mapf = partial(jax.vmap, in_axes=0)
 
     def prelude(sc_c):
-        """Per-chunk: scalar form conversion + digit split into sort keys."""
-        sc = sc_c  # (16, nloc) limbs-first within the chunk
+        """Per-chunk: scalar form conversion, GLV split, digit split into
+        sort keys (factor-regrouped to match expanded bases)."""
+        sc = sc_c  # (16, mloc) limbs-first within the chunk
         if scalars_montgomery:
             sc = ops.from_mont(FR, sc)
-        return decompose_window_keys(sc, w)  # (T, nloc)
+        if glv:
+            sc, _ = glv_split_scalars(sc)
+        if factor > 1:
+            abs_d, signs = _digits_for_precompute(sc, w, factor, num_bits)
+            return _keys_from_digits(abs_d, signs)
+        return decompose_window_keys(sc, w, num_bits)  # (T, n_eff)
 
     prelude_m = mapf(prelude)
+    extend = mapf(lambda xx, yy, ii: glv_extend_bases(F, (xx, yy, ii)))
     pack_rows = mapf(lambda xx, yy: _stage_pack_rows(F, xx, yy))
     sort_tile = mapf(lambda k, em, ii: _stage_sort_tile(F, k, R, L, em, ii))
     scan_s = mapf(lambda xr, yr, sr, ir: _stage_scan(F, xr, yr, sr, ir))
@@ -753,8 +875,10 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
     horner = mapf(lambda ws: _stage_horner(F, ws, w))
     to_jac = mapf(lambda p: pj.proj_to_jac(F, p))
 
-    keys = prelude_m(scalars_c)   # (D, T, nloc) sort keys
-    em_rows = pack_rows(x, y)     # (D, nloc, W)
+    keys = prelude_m(scalars_c)   # (D, T, n_eff) sort keys
+    if glv and factor == 1:
+        x, y, inf = extend(x, y, inf)  # (D, K, 2*nloc)
+    em_rows = pack_rows(x, y)     # (D, n_eff, W)
     window_sums = []
     for t in range(T):
         key_sorted, x_rows, y_rows, sign_rows, inf_rows = sort_tile(

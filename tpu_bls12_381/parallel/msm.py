@@ -53,30 +53,50 @@ def _shard_map(f, mesh, in_specs, out_specs, check: bool = True):
     return sm(f, **kwargs)
 
 
-def chunk_msm_inputs(scalars, A, n_chunks: int):
+def chunk_msm_inputs(scalars, A, n_chunks: int, *, segments: int = 1):
     """(16, N) scalars + affine batch -> leading-chunk-axis form.
 
-    Returns scalars (D, 16, nloc); A leaves (D, K, nloc); inf (D, nloc).
+    Returns scalars (D, 16, mloc); A leaves (D, K, nloc); inf (D, nloc).
+
+    ``segments`` > 1: the base array's point axis is a concatenation of
+    ``segments`` equal blocks (GLV extension contributes x2, a precompute
+    factor f contributes xf — block-major order, exactly as
+    ``glv_extend_bases`` + ``expand_bases`` lay them out).  Each block is
+    chunked independently and a chunk holds its blocks re-concatenated in
+    order, so per-chunk key generation (``msm_chunked``'s GLV split +
+    factor regroup) lines up with the chunk's own points.
     """
     x, y, inf = A
-    n = inf.shape[-1]
-    if n % n_chunks:
-        raise ValueError(f"MSM size {n} not divisible by {n_chunks} chunks")
-    nloc = n // n_chunks
+    n_pts = inf.shape[-1]
+    n_sc = scalars.shape[-1]
+    if n_pts % (n_chunks * segments) or n_sc % n_chunks:
+        raise ValueError(
+            f"MSM size {n_pts} (pts) / {n_sc} (scalars) not divisible into "
+            f"{n_chunks} chunks of {segments} segment(s)")
+    nseg = n_pts // segments
+    nloc = nseg // n_chunks
 
     def chunk(c):
-        return jnp.moveaxis(c.reshape(c.shape[:-1] + (n_chunks, nloc)), -2, 0)
+        return jnp.moveaxis(c.reshape(c.shape[:-1] + (n_chunks, -1)), -2, 0)
+
+    def chunk_seg(c):
+        if segments == 1:
+            return chunk(c)
+        # (..., S*nseg) -> (..., S, D, nloc) -> (D, ..., S*nloc)
+        t = c.reshape(c.shape[:-1] + (segments, n_chunks, nloc))
+        t = jnp.moveaxis(t, -2, 0)
+        return t.reshape((n_chunks,) + c.shape[:-1] + (segments * nloc,))
 
     return (
         chunk(scalars),
-        (tree_map(chunk, x), tree_map(chunk, y), inf.reshape(n_chunks, nloc)),
+        (tree_map(chunk_seg, x), tree_map(chunk_seg, y), chunk_seg(inf)),
     )
 
 
-def shard_msm_inputs(scalars, A, mesh):
+def shard_msm_inputs(scalars, A, mesh, *, segments: int = 1):
     """Chunk MSM inputs by mesh size and shard the chunk axis."""
     D = mesh.devices.size
-    sc, (x, y, inf) = chunk_msm_inputs(scalars, A, D)
+    sc, (x, y, inf) = chunk_msm_inputs(scalars, A, D, segments=segments)
     sh3 = NamedSharding(mesh, P(SHARD_AXIS, None, None))
     sh2 = NamedSharding(mesh, P(SHARD_AXIS, None))
     return (
@@ -96,13 +116,20 @@ def _combine_chunks(F, P_chunks):
 
 
 def msm_sharded(F, scalars_c, A_c, mesh=None, *, window_bits: int | None = None,
-                scalars_montgomery: bool = True):
+                scalars_montgomery: bool = True, glv: bool = False,
+                factor: int = 1):
     """MSM over chunked (optionally mesh-sharded) inputs.
 
     ``scalars_c``/``A_c`` come from :func:`shard_msm_inputs` (sharded) or
     :func:`chunk_msm_inputs` (single device, chunk axis as plain batch).
     Returns one Jacobian point.  ``mesh`` is accepted for API symmetry;
     placement travels with the arrays under GSPMD.
+
+    ``glv``/``factor`` compose exactly as on the single-chip path
+    (core/msm.rs:594-651's precompute-composes-with-everything analog):
+    GLV splits per chunk in-device; ``factor`` > 1 expects bases expanded
+    by ``expand_bases`` and chunked with
+    ``chunk_msm_inputs(..., segments=factor * (2 if glv else 1))``.
     """
     from ..msm.pippenger import msm_chunked
 
@@ -115,7 +142,7 @@ def msm_sharded(F, scalars_c, A_c, mesh=None, *, window_bits: int | None = None,
     P_chunks = msm_chunked(
         F, scalars_c, A_c,
         window_bits=window_bits, scalars_montgomery=scalars_montgomery,
-        mapper=mapper,
+        mapper=mapper, glv=glv, factor=factor,
     )
     return _combine_chunks(F, P_chunks)
 

@@ -70,7 +70,10 @@ class Config:
     vecops_min_size: int
     precompute_factor: int
     msm_window: int | None
-    msm_glv: bool
+    # "auto" (default): GLV when the doubled point set still fits the HBM
+    # budget in one shot (measured on v5e: +25% at 2^20, OOM at 2^22);
+    # "on"/"off" force.  pippenger.msm resolves "auto" per call.
+    msm_glv: str
     ntt_max_log_n: int
     ntt_ordering: str
     ntt_algorithm: str
@@ -102,8 +105,10 @@ class Config:
             precompute_factor=_int_env("MIDNIGHT_TPU_PRECOMPUTE", 1, 1, 8,
                                        aliases=("MIDNIGHT_GPU_PRECOMPUTE",)),
             msm_window=window or None,
-            msm_glv=os.environ.get("MIDNIGHT_MSM_GLV", "0").lower()
-            in ("1", "true", "on", "yes"),
+            msm_glv={"1": "on", "true": "on", "on": "on", "yes": "on",
+                     "0": "off", "false": "off", "off": "off", "no": "off",
+                     }.get(os.environ.get("MIDNIGHT_MSM_GLV", "auto")
+                           .lower(), "auto"),
             ntt_max_log_n=_int_env("MIDNIGHT_NTT_MAX_LOG_N", 16, 0, 32),
             ntt_ordering=os.environ.get("MIDNIGHT_NTT_ORDERING", "NN").upper(),
             ntt_algorithm={"mixedradix": "fourstep"}.get(

@@ -71,7 +71,17 @@ class MsmContext:
         n = A[2].shape[-1]
         factor = (config().precompute_factor
                   if precompute_factor is None else precompute_factor)
-        glv = (config().msm_glv if glv is None else glv) and self.name == "g1"
+        if glv is None:
+            mode = config().msm_glv
+            if mode == "auto":
+                # same fit rule as pippenger.msm: GLV only while the
+                # doubled (and factor-expanded) set runs in one shot
+                glv = (2 * n * max(factor, 1)
+                       * pippenger._msm_bytes_per_point(self.F)
+                       <= pippenger._hbm_budget_bytes())
+            else:
+                glv = mode == "on"
+        glv = bool(glv) and self.name == "g1"
         num_bits = 128 if glv else pippenger.FR_BITS
         w = window_bits or config().msm_window or pippenger.window_bits_for(
             n * max(factor, 1) * (2 if glv else 1), self.F)
