@@ -126,9 +126,18 @@ def main():
     ks = [int(k) for k in
           os.environ.get("BENCH_E2E_KS", "14,16,18").split(",")]
     skip_cpu = bool(os.environ.get("BENCH_E2E_SKIP_CPU"))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "E2E.json")
     results = {}
     for K in ks:
-        acc = accel_leg(K)
+        try:
+            acc = accel_leg(K)
+        except Exception as e:  # one bad K must not lose the others
+            print(f"# accel leg FAILED for K={K}: {e!r}", file=sys.stderr)
+            results[K] = {"accel_error": repr(e)}
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1)
+            continue
         row = {"accel": acc}
         if not skip_cpu:
             out = subprocess.run(
@@ -141,6 +150,8 @@ def main():
                 print(f"# cpu leg failed for K={K}:\n{out.stderr[-2000:]}",
                       file=sys.stderr)
         results[K] = row
+        with open(out_path, "w") as f:  # incremental: survive later crashes
+            json.dump(results, f, indent=1)
         print(f"# K={K} done: accel total {acc['total']*1e3:.1f} ms",
               file=sys.stderr)
 
@@ -149,6 +160,9 @@ def main():
         f"{p} (ms / speedup)" for p in phases) + " |")
     print("|" + "---|" * (len(phases) + 1))
     for K, row in results.items():
+        if "accel" not in row:
+            print(f"| {K} | FAILED: {row.get('accel_error', '?')} |")
+            continue
         cells = []
         for p in phases:
             a = row["accel"][p] * 1e3
@@ -157,8 +171,7 @@ def main():
                          if c else f"{a:.1f} / —")
         print(f"| {K} | " + " | ".join(cells) + " |")
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "E2E.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
 
 

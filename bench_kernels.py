@@ -42,6 +42,14 @@ from tpu_bls12_381.tuning import chip_profile
 
 REPS = int(os.environ.get("BENCH_SOL_REPS", "3"))
 
+# Dispatch-latency amortization: the tunneled platform has a ~26 ms
+# host->device->fence floor per dispatch, which swamps any single
+# elementwise kernel at benchable sizes (2^20 Fr muls is ~3 ms of real
+# VPU work).  Each kernel is therefore CHAINED this many times inside one
+# jitted fori_loop — one dispatch, CHAIN x the work — so the reported
+# rate is the kernel's, not the tunnel's.
+CHAIN = int(os.environ.get("BENCH_SOL_CHAIN", "16"))
+
 
 def _rand_limbs(spec, n, seed):
     """Uniform sub-modulus-ish limb arrays (top limb truncated: exact
@@ -79,24 +87,38 @@ def kernel_entries():
     cnt16 = _mont_mul_op_count(16)
     cnt24 = _mont_mul_op_count(24)
 
+    def chained(step, init):
+        """One dispatch running CHAIN dependent kernel applications."""
+        run = jax.jit(lambda x0: jax.lax.fori_loop(
+            0, CHAIN, lambda _, x: step(x), x0))
+        return lambda: run(init)
+
     # bytes/elem = (#in + #out field elements) * K limbs * 4 bytes
+    # (per chained application: the loop-carried value stays in HBM
+    # between iterations, so traffic per application is unchanged)
     ent.append(("fr_mont_mul",
-                lambda: n_fr / _time(lambda: fast.mont_mul(FR, a16, b16)),
+                lambda: n_fr * CHAIN / _time(
+                    chained(lambda x: fast.mont_mul(FR, x, b16), a16)),
                 3 * 16 * 4, cnt16["total"]))
     ent.append(("fr_mont_sqr",
-                lambda: n_fr / _time(lambda: fast.mont_sqr(FR, a16)),
+                lambda: n_fr * CHAIN / _time(
+                    chained(lambda x: fast.mont_sqr(FR, x), a16)),
                 2 * 16 * 4, cnt16["total"]))
     ent.append(("fq_mont_mul",
-                lambda: n_fq / _time(lambda: fast.mont_mul(FQ, a24, b24)),
+                lambda: n_fq * CHAIN / _time(
+                    chained(lambda x: fast.mont_mul(FQ, x, b24), a24)),
                 3 * 24 * 4, cnt24["total"]))
     ent.append(("fq_mont_sqr",
-                lambda: n_fq / _time(lambda: fast.mont_sqr(FQ, a24)),
+                lambda: n_fq * CHAIN / _time(
+                    chained(lambda x: fast.mont_sqr(FQ, x), a24)),
                 2 * 24 * 4, cnt24["total"]))
 
     # butterfly: (even, odd, w) in, (hi, lo) out = 5 Fr elements of traffic
     w16 = _rand_limbs(FR, n_fr, 5)
     ent.append(("fr_butterfly",
-                lambda: n_fr / _time(lambda: fast.butterfly(FR, a16, b16, w16)),
+                lambda: n_fr * CHAIN / _time(
+                    chained(lambda eo: fast.butterfly(FR, eo[0], eo[1], w16),
+                            (a16, b16))),
                 5 * 16 * 4, cnt16["total"] + 24 * 16))
 
     # G1 mixed add (RCB16 complete, 11 Fq mul + 6 sqr-free adds):
@@ -109,10 +131,13 @@ def kernel_entries():
     P = pj.proj_identity(FQ_ADAPTER, (n_pt,))
     sign = jnp.zeros((n_pt,), dtype=bool)
     inf = jnp.zeros((n_pt,), dtype=bool)
-    madd = jax.jit(lambda p, a, s: pj.proj_add_mixed_signed_fast(
-        FQ_ADAPTER, p, a, s))
+    madd_chain = jax.jit(lambda p0: jax.lax.fori_loop(
+        0, CHAIN,
+        lambda _, p: pj.proj_add_mixed_signed_fast(
+            FQ_ADAPTER, p, (gx, gy, inf), sign),
+        p0))
     ent.append(("g1_mixed_add",
-                lambda: n_pt / _time(lambda: madd(P, (gx, gy, inf), sign)),
+                lambda: n_pt * CHAIN / _time(lambda: madd_chain(P)),
                 8 * 24 * 4, 14 * cnt24["total"]))
     return ent
 

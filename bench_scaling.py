@@ -90,4 +90,15 @@ def _time(fn) -> float:
 
 
 if __name__ == "__main__":
-    run()
+    # On the virtual CPU mesh every "device" shares the host cores, so use
+    # small sizes: the artifact validates the sharded ALGORITHM's rows and
+    # the efficiency math, not silicon scaling (BENCH_SCALING_LOG_N /
+    # BENCH_SCALING_NTT_LOG_N override).
+    cpu_mesh = os.environ.get("BENCH_FORCE_CPU") == "1"
+    run(
+        points_per_device_log2=int(
+            os.environ.get("BENCH_SCALING_LOG_N", "10" if cpu_mesh else "18")),
+        ntt_log_n_base=int(
+            os.environ.get("BENCH_SCALING_NTT_LOG_N",
+                           "14" if cpu_mesh else "20")),
+    )

@@ -213,6 +213,18 @@ class TestMemoryChunking:
         got = _g1_result(msm_g1(_fr_mont(vals), A))
         assert got == want
 
+    def test_expand_bases_chunked_matches(self, rng, monkeypatch):
+        from tpu_bls12_381.msm import pippenger
+
+        A, _ = _g1_points(rng, N)
+        w = pippenger.window_bits_for(N, FQ_ADAPTER)
+        want = pippenger.expand_bases(FQ_ADAPTER, A, w, 2)
+        monkeypatch.setenv("MIDNIGHT_EXPAND_CHUNK_LOG", "4")  # 16-pt slices
+        got = pippenger.expand_bases(FQ_ADAPTER, A, w, 2)
+        for a, b in zip(jax.tree_util.tree_leaves(want),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_batch_shared_chunked_matches(self, rng, monkeypatch):
         from tpu_bls12_381.msm import pippenger
         from tpu_bls12_381.runtime.msm_context import g1_context

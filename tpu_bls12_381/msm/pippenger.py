@@ -609,6 +609,11 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
         # Sequential point-chunks; equal sizes so the staged jits compile
         # once and every later piece reuses them.  Partials combine by the
         # group law (sum over points distributes over any partition).
+        # Prefer a piece count dividing n exactly — for power-of-two sizes
+        # this lands on power-of-two pieces whose stage shapes are already
+        # compiled (2^24 -> 4 x 2^22).
+        while n % n_pieces and n_pieces < 64:
+            n_pieces += 1
         per = -(-n // n_pieces)
         parts = []
         for s in range(0, n, per):
@@ -974,9 +979,38 @@ def expand_bases(F, A, w: int, factor: int, num_bits: int = FR_BITS):
     device).  Returns the expanded affine batch; run once at setup time.
     ``num_bits``: scalar bit-length the expansion will serve (128 for
     GLV-split halves — shrinks the per-block shift).
+
+    Large inputs expand in sequential point-slices (the doubling chain is
+    pointwise, so any partition is exact): one shot keeps a projective
+    doubling pipeline + batch inversion live for the whole array, which
+    at 2^21+ lanes tips a 16 GB chip already holding the consumer's own
+    buffers (observed in the K=20 e2e leg).  MIDNIGHT_EXPAND_CHUNK_LOG
+    overrides the 2^20-lane default.
     """
+    import os
+
     if factor <= 1:
         return A
+    n = A[2].shape[-1]
+    cap = 1 << int(os.environ.get("MIDNIGHT_EXPAND_CHUNK_LOG", "20"))
+    if n > cap:
+        m = cap
+        pieces = []
+        for s in range(0, n, m):
+            Ai = (tree_map(lambda c: c[..., s:s + m], A[0]),
+                  tree_map(lambda c: c[..., s:s + m], A[1]),
+                  A[2][..., s:s + m])
+            pieces.append(expand_bases(F, Ai, w, factor, num_bits))
+        # stitch back block-major: piece leaves are (K, factor*m) ->
+        # (K, factor, m); concat pieces along the point axis per block
+        def stitch(leaves):
+            parts = [l.reshape(l.shape[:-1] + (factor, -1)) for l in leaves]
+            return jnp.concatenate(parts, axis=-1).reshape(
+                leaves[0].shape[:-1] + (-1,))
+        xs = tree_map(lambda *cs: stitch(cs), *[p[0] for p in pieces])
+        ys = tree_map(lambda *cs: stitch(cs), *[p[1] for p in pieces])
+        infs = stitch([p[2] for p in pieces])
+        return (xs, ys, infs)
     span = precompute_window_span(w, factor, num_bits) * w
     blocks = [A]
     cur = pj.affine_to_proj(F, A)
