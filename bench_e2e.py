@@ -92,20 +92,21 @@ def cpu_leg(K: int) -> dict:
     t = {}
     if native.available():
         rng = np.random.default_rng(1)
-        sc = [int(x) for x in rng.integers(0, 1 << 62, size=n, dtype=np.int64)]
         A = _random_g1_batch(n)
         pts = g1.affine_to_ints(jax.tree_util.tree_map(np.asarray, A))
+        # commit = B real sequential host MSMs with distinct scalar sets
+        # (the host Pippenger has no batch mode), matching the reference's
+        # table of real batched phases (test_e2e_proof_benchmark.rs.diff).
+        scs = [[int(x) for x in
+                rng.integers(0, 1 << 62, size=n, dtype=np.int64)]
+               for _ in range(B_COMMIT)]
         t0 = time.perf_counter()
-        native.msm_host(sc, pts, "g1")
-        one = time.perf_counter() - t0
-        # ESTIMATE: commit = B x one timed host MSM (the host Pippenger has
-        # no batch mode; its per-MSM cost is batch-independent, unlike the
-        # reference's table which times real batched phases,
-        # test_e2e_proof_benchmark.rs.diff:130-177).  Flagged in E2E.json
-        # as commit_estimated.
-        t["commit"] = one * B_COMMIT
-        t["commit_estimated"] = True
-        t["open"] = one
+        for sc in scs:
+            native.msm_host(sc, pts, "g1")
+        t["commit"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        native.msm_host(scs[0], pts, "g1")
+        t["open"] = time.perf_counter() - t0
     coeffs = _random_fr_mont(dom_n, seed=20)
     get_domain(K + 1)
     ev = coset_ntt(coeffs, SHIFT)

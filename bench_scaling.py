@@ -39,6 +39,20 @@ import bench as bench_mod
 def run(points_per_device_log2: int = 18, ntt_log_n_base: int = 20,
         reps: int = 2) -> None:
     all_devices = jax.devices()
+    # Production MSM config: GLV split per chunk (the auto default at
+    # prover sizes).  BENCH_SCALING_GLV=0 disables.
+    glv = os.environ.get("BENCH_SCALING_GLV", "1") == "1"
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "artifacts", "SCALING.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    rows: list = []
+
+    def emit(row):
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        with open(out_path, "w") as f:  # incremental: survive timeouts
+            json.dump(rows, f, indent=1)
+
     sizes = []
     p = 1
     while p <= len(all_devices):
@@ -52,17 +66,17 @@ def run(points_per_device_log2: int = 18, ntt_log_n_base: int = 20,
         scalars = bench_mod._random_fr_mont(n)
         A = bench_mod._random_g1_batch(n)
         sc_sh, A_sh = shard_msm_inputs(scalars, A, mesh)
-        out = msm_g1_sharded(sc_sh, A_sh, mesh)
+        out = msm_g1_sharded(sc_sh, A_sh, mesh, glv=glv)
         jax.block_until_ready(out)
-        best = min(_time(lambda: msm_g1_sharded(sc_sh, A_sh, mesh))
+        best = min(_time(lambda: msm_g1_sharded(sc_sh, A_sh, mesh, glv=glv))
                    for _ in range(reps))
         rate = n / best
         base_rate_msm = base_rate_msm or rate
-        print(json.dumps({
-            "metric": f"g1_msm_weak_scaling", "devices": p, "n": n,
-            "value": round(rate, 1), "unit": "points/s",
+        emit({
+            "metric": "g1_msm_weak_scaling", "devices": p, "n": n,
+            "glv": glv, "value": round(rate, 1), "unit": "points/s",
             "efficiency": round(rate / (base_rate_msm * p), 4),
-        }))
+        })
         # --- NTT: n scales with p ----------------------------------------
         log_n = ntt_log_n_base + (p - 1).bit_length()
         x = jnp.asarray(np.random.default_rng(5).integers(
@@ -74,11 +88,11 @@ def run(points_per_device_log2: int = 18, ntt_log_n_base: int = 20,
                    for _ in range(reps))
         rate = (1 << log_n) / best
         base_rate_ntt = base_rate_ntt or rate
-        print(json.dumps({
-            "metric": f"ntt_weak_scaling", "devices": p, "log_n": log_n,
+        emit({
+            "metric": "ntt_weak_scaling", "devices": p, "log_n": log_n,
             "value": round(rate, 1), "unit": "elems/s",
             "efficiency": round(rate / (base_rate_ntt * p), 4),
-        }))
+        })
 
 
 def _time(fn) -> float:

@@ -77,3 +77,52 @@ def test_prover_round_matches_oracle(rng):
             oracle.msm(poly, srs_int, oracle.FQ_OPS), oracle.FQ_OPS)
         assert got == want
         assert oracle.g1_is_on_curve(got)
+
+
+def test_prover_round_under_memory_pressure(rng, monkeypatch):
+    """K=20-shaped regression (scaled down): the cached-bases MSM must
+    chunk itself when the consumer's own live buffers (SRS expansion, NTT
+    domains, polys) eat most of the HBM budget — the composition that
+    crashed the round-3 e2e K=20 leg.  The pressured run must be
+    bit-identical to the unpressured one, and must actually have chunked.
+    """
+    from tpu_bls12_381.msm import pippenger
+    from tpu_bls12_381.runtime.msm_context import g1_context
+
+    ctx = g1_context()
+    n = N_BASES
+    tau = rng.randrange(1, R)
+    G = oracle.g1_generator()
+    srs_int = [oracle.jac_to_affine(
+        oracle.scalar_mul(pow(tau, i, R), G, oracle.FQ_OPS), oracle.FQ_OPS)
+        for i in range(n)]
+    A = g1.affine_from_ints(srs_int)
+    bases = ctx.upload_bases(A, precompute_factor=2, glv=True)
+    poly = [rng.randrange(R) for _ in range(n)]
+    want = ctx.msm_with_bases(_fr(poly), bases)
+    want_ints = g1.jacobian_to_ints(
+        jax.tree_util.tree_map(lambda c: c[..., None], want))[0]
+
+    # Consumer-held live buffer worth ~3/4 of the (mocked) budget: the
+    # pipeline's own working set fits the nominal budget but NOT what is
+    # left — exactly the round-3 failure shape.
+    n_eff = bases.A[2].shape[-1]
+    bpp = pippenger._msm_bytes_per_point(pippenger.FQ_ADAPTER)
+    nominal = n_eff * bpp
+    hog = jnp.zeros((3 * nominal // 4 // 4,), dtype=jnp.uint32)
+    hog.block_until_ready()
+    monkeypatch.setattr(pippenger, "_hbm_budget_bytes", lambda: nominal)
+
+    calls = []
+    core = pippenger._msm_precomputed_core
+    monkeypatch.setattr(
+        pippenger, "_msm_precomputed_core",
+        lambda *a, **k: (calls.append(a[3]), core(*a, **k))[1])
+
+    got = ctx.msm_with_bases(_fr(poly), bases)
+    got_ints = g1.jacobian_to_ints(
+        jax.tree_util.tree_map(lambda c: c[..., None], got))[0]
+    del hog
+    assert len(calls) > 1, "budget pressure must have forced point chunks"
+    assert got_ints == want_ints
+    assert oracle.g1_is_on_curve(got_ints)

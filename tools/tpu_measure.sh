@@ -11,7 +11,7 @@ cd "$(dirname "$0")/.."
 mkdir -p artifacts
 LOG=${MEASURE_LOG:-artifacts/tpu_measure.log}
 STEPS=("$@")
-[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe msm20 msm22 ntt22 g2_16 g2_18 batch sol suite e2e msm24 scaling)
+[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe msm20 msm22 ntt22 g2_16 g2_18 batch sol suite suite_golden e2e msm24 scaling)
 
 run() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
@@ -32,9 +32,14 @@ for s in "${STEPS[@]}"; do
     g2_18) BENCH_METRIC=g2 BENCH_LOG_N=18 run g2_18 2400 python bench.py ;;
     batch) BENCH_METRIC=batch BENCH_LOG_N=16 BENCH_BATCH=8 run batch 2400 python bench.py ;;
     sol)   run sol 2400 python bench_kernels.py ;;
-    suite) run suite 3600 tests/run_suite.sh --tpu ;;
-    e2e)   BENCH_E2E_KS=${BENCH_E2E_KS:-14,16,18,20} run e2e 3600 python bench_e2e.py ;;
+    suite) SUITE_FILES="tests/test_pallas_ops.py tests/test_fourstep.py tests/test_projective.py" \
+           run suite 3600 tests/run_suite.sh --tpu ;;
+    suite_golden) SUITE_FILES="tests/test_golden.py tests/test_tpu_smoke.py" SUITE_APPEND=1 \
+           run suite_golden 3600 tests/run_suite.sh --tpu ;;
+    e2e)   BENCH_E2E_KS=${BENCH_E2E_KS:-14,16,18,20,22} run e2e 7200 python bench_e2e.py ;;
     msm24) BENCH_LOG_N=24 BENCH_REPS=1 run msm24 3600 python bench.py ;;
+    coldstart) COLD=1 run coldstart 1800 python tools/profile_cold_start.py
+               run coldwarm 900 python tools/profile_cold_start.py ;;
     scaling) BENCH_FORCE_CPU=1 XLA_FLAGS="--xla_force_host_platform_device_count=8" \
              run scaling 3600 python bench_scaling.py ;;
     *) echo "unknown step: $s" ;;

@@ -558,6 +558,44 @@ def _hbm_budget_bytes() -> int:
     return mb << 20
 
 
+def _live_accel_bytes(*exclude_trees) -> int:
+    """Bytes of live device arrays on the accelerator, excluding the given
+    input trees (their footprint is already in _msm_bytes_per_point).
+
+    This is what the caller is holding against the chip: cached expanded
+    SRS bases, NTT domains, polynomial buffers.  A PLONK prover at K=20
+    keeps ~2 GB of those live while committing (the round-3 e2e K=20 leg
+    died because the budget never saw them)."""
+    try:
+        platform = jax.default_backend()
+        skip = set()
+        for t in exclude_trees:
+            for leaf in jax.tree_util.tree_leaves(t):
+                skip.add(id(leaf))
+        total = 0
+        for a in jax.live_arrays():
+            if id(a) in skip:
+                continue
+            try:
+                if next(iter(a.devices())).platform != platform:
+                    continue
+            except Exception:
+                continue
+            total += a.size * a.dtype.itemsize
+        return total
+    except Exception:  # census is advisory; never fail an MSM over it
+        return 0
+
+
+def _available_budget(*exclude_trees) -> int:
+    """HBM budget available to the pipeline right now: the configured
+    budget minus what the caller already holds live on the chip, floored
+    at 1/8 of the budget so chunk counts stay sane even under extreme
+    memory pressure."""
+    budget = _hbm_budget_bytes()
+    return max(budget - _live_accel_bytes(*exclude_trees), budget // 8)
+
+
 def _split_points(n: int, budget: int, bpp: int) -> int:
     """Number of sequential point-chunks needed to fit the budget."""
     need = -(-n * bpp // budget)
@@ -587,6 +625,7 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
         raise ValueError(f"MSM size {n} exceeds 2^{constants.MAX_MSM_LOG_SIZE}")
     if scalars_montgomery:
         scalars = ops.from_mont(FR, scalars)
+    budget = _available_budget(scalars, x, y, inf)
     if glv is None:
         from ..runtime.config import config
 
@@ -598,13 +637,12 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
             # chunking kicks in, 2 pieces x T/2 windows is the same work
             # as 1 x T and the split overhead loses.
             glv = (F is FQ_ADAPTER and
-                   2 * n * _msm_bytes_per_point(F) <= _hbm_budget_bytes())
+                   2 * n * _msm_bytes_per_point(F) <= budget)
         else:
             glv = mode == "on"
     glv = bool(glv) and F is FQ_ADAPTER
     n_budget = n * (2 if glv else 1)
-    n_pieces = _split_points(n_budget, _hbm_budget_bytes(),
-                             _msm_bytes_per_point(F))
+    n_pieces = _split_points(n_budget, budget, _msm_bytes_per_point(F))
     if n_pieces > 1:
         # Sequential point-chunks; equal sizes so the staged jits compile
         # once and every later piece reuses them.  Partials combine by the
@@ -727,33 +765,62 @@ def msm_batch_shared(F, scalars_b, A, *, window_bits: int | None = None,
     """
     x, y, inf = A
     n_eff = inf.shape[-1]
-    B = scalars_b.shape[1]
-    # Memory-aware batch chunking (core/msm.rs:1136-1141 analog): the
-    # batched tiles scale with B while the element-major table is shared,
-    # so cap the per-shot group size by the HBM budget and run groups
-    # sequentially (equal sizes -> the staged jits compile once).
-    C = _coord_planes(F)
-    W = _row_width(2 * C)
-    shared = 4 * W * n_eff
-    per_b = 4 * (W + 5 * C) * n_eff
-    room = max(_hbm_budget_bytes() - shared, per_b)
-    bg = max(1, min(B, room // per_b))
-    if bg < B:
-        ngroups = -(-B // bg)
-        per = -(-B // ngroups)
-        parts = []
-        for s in range(0, B, per):
-            parts.append(msm_batch_shared(
-                F, scalars_b[:, s:s + per], A, window_bits=window_bits,
-                factor=factor, scalars_montgomery=scalars_montgomery,
-                glv=glv))
-        return tree_map(lambda *cs: jnp.concatenate(cs, axis=-1), *parts)
     if scalars_montgomery:
         scalars_b = ops.from_mont(FR, scalars_b)
     num_bits = FR_BITS
     if glv:
         scalars_b, num_bits = glv_split_scalars(scalars_b)
     w = window_bits or window_bits_for(n_eff // max(factor, 1), F)
+    return _msm_batch_core(F, scalars_b, A, w, max(factor, 1), num_bits)
+
+
+def _msm_batch_core(F, scalars_b, A, w: int, factor: int, num_bits: int):
+    """Batched window loop over standard-form (GLV-split) scalars, with
+    memory-aware chunking on both axes (core/msm.rs:1136-1141 analog):
+
+    * the batched tiles scale with B while the element-major table is
+      shared, so the per-shot group size is capped by the HBM budget and
+      groups run sequentially (equal sizes -> the staged jits compile
+      once);
+    * when even ONE batch member overflows the budget left after the
+      caller's live buffers, the point axis chunks first (every factor
+      block sliced consistently) and the partial results combine by the
+      group law — the same rule as :func:`msm_precomputed`.
+    """
+    x, y, inf = A
+    n_eff = inf.shape[-1]
+    B = scalars_b.shape[1]
+    m = scalars_b.shape[-1]
+    C = _coord_planes(F)
+    W = _row_width(2 * C)
+    budget = _available_budget(scalars_b, x, y, inf)
+    shared = 4 * W * n_eff
+    per_b = 4 * (W + 5 * C) * n_eff
+    if shared + per_b > budget:
+        n_pieces = -(-(shared + per_b) // budget) + 1
+        while m % n_pieces and n_pieces < 64:
+            n_pieces += 1
+        per = -(-m // n_pieces)
+        parts = []
+        for s in range(0, m, per):
+            e = min(s + per, m)
+            Ai = (_slice_factor_blocks(x, m, s, e, factor),
+                  _slice_factor_blocks(y, m, s, e, factor),
+                  _slice_factor_blocks(inf, m, s, e, factor))
+            parts.append(_msm_batch_core(
+                F, scalars_b[..., s:e], Ai, w, factor, num_bits))
+        stacked = tree_map(lambda *cs: jnp.stack(cs, axis=-1), *parts)
+        return pt.sum_reduce(F, stacked)
+    room = max(budget - shared, per_b)
+    bg = max(1, min(B, room // per_b))
+    if bg < B:
+        ngroups = -(-B // bg)
+        per = -(-B // ngroups)
+        parts = []
+        for s in range(0, B, per):
+            parts.append(_msm_batch_core(
+                F, scalars_b[:, s:s + per], A, w, factor, num_bits))
+        return tree_map(lambda *cs: jnp.concatenate(cs, axis=-1), *parts)
     nb = 1 << (w - 1)
     L = lane_tile_for(n_eff, F)
     R = -(-n_eff // L)
@@ -1039,12 +1106,30 @@ def _digits_for_precompute(scalars_std, w: int, factor: int,
     return abs_d, signs
 
 
+def _slice_factor_blocks(tree, m: int, s: int, e: int, factor: int):
+    """Slice points [s, e) out of every factor block of a block-major
+    expanded array: leaves (..., factor*m) -> (..., factor*(e-s))."""
+    def do(c):
+        b = c.reshape(c.shape[:-1] + (factor, m))
+        return b[..., s:e].reshape(c.shape[:-1] + (factor * (e - s),))
+
+    return tree_map(do, tree)
+
+
 def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
                     scalars_montgomery: bool = True, glv: bool = False):
     """MSM against bases expanded by :func:`expand_bases` (same w/factor).
 
     ``glv``: the bases were uploaded GLV-extended ([A || phi(A)] before
     expansion); split the scalars to match and use 128-bit window counts.
+
+    Like :func:`msm`, the point axis chunks sequentially when the pipeline
+    working set would overflow the HBM budget *left after the caller's
+    live buffers* — the cached-bases path is exactly the one a prover
+    calls while holding the expanded SRS + NTT domains on-chip (the
+    round-3 K=20 e2e leg died here: every component fit alone, the
+    composition did not).  Chunks slice every factor block consistently,
+    so each piece is itself a valid precomputed MSM over the sliced bases.
     """
     if factor <= 1 and not glv:
         return msm(F, scalars, A_expanded,
@@ -1057,13 +1142,40 @@ def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
     num_bits = FR_BITS
     if glv:
         scalars, num_bits = glv_split_scalars(scalars)
-    w = window_bits
+    m = scalars.shape[-1]          # points per factor block (n, or 2n GLV)
+    factor = max(factor, 1)
+    n_pieces = _split_points(n_eff, _available_budget(scalars, x, y, inf),
+                             _msm_bytes_per_point(F))
+    if n_pieces > 1:
+        while m % n_pieces and n_pieces < 64:
+            n_pieces += 1
+        per = -(-m // n_pieces)
+        parts = []
+        for s in range(0, m, per):
+            e = min(s + per, m)
+            Ai = (_slice_factor_blocks(x, m, s, e, factor),
+                  _slice_factor_blocks(y, m, s, e, factor),
+                  _slice_factor_blocks(inf, m, s, e, factor))
+            parts.append(_msm_precomputed_core(
+                F, scalars[..., s:e], Ai, window_bits, factor, num_bits))
+        stacked = tree_map(lambda *cs: jnp.stack(cs, axis=-1), *parts)
+        return pt.sum_reduce(F, stacked)
+    return _msm_precomputed_core(F, scalars, A_expanded, window_bits, factor,
+                                 num_bits)
+
+
+def _msm_precomputed_core(F, scalars_std, A_expanded, w: int, factor: int,
+                          num_bits: int):
+    """One-shot precomputed-bases window loop (standard-form, GLV-split
+    scalars; bases block-major over ``factor`` blocks)."""
+    x, y, inf = A_expanded
+    n_eff = inf.shape[-1]
     nb = 1 << (w - 1)
     L = lane_tile_for(n_eff, F)
     R = -(-n_eff // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
 
-    abs_d, signs = _digits_for_precompute(scalars, w, factor, num_bits)
+    abs_d, signs = _digits_for_precompute(scalars_std, w, factor, num_bits)
     keys = _keys_from_digits(abs_d, signs)
     em_rows = _stage_pack_rows(F, x, y)
 

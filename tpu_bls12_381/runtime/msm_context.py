@@ -75,10 +75,13 @@ class MsmContext:
             mode = config().msm_glv
             if mode == "auto":
                 # same fit rule as pippenger.msm: GLV only while the
-                # doubled (and factor-expanded) set runs in one shot
+                # doubled (and factor-expanded) set runs in one shot in
+                # the budget left after the caller's live buffers (the
+                # bases being uploaded are excluded — their footprint is
+                # part of the pipeline working set)
                 glv = (2 * n * max(factor, 1)
                        * pippenger._msm_bytes_per_point(self.F)
-                       <= pippenger._hbm_budget_bytes())
+                       <= pippenger._available_budget(A))
             else:
                 glv = mode == "on"
         glv = bool(glv) and self.name == "g1"
