@@ -32,6 +32,9 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/tpu_bls12_381_jax_cache")
 if os.environ.get("COLD"):
     cache_dir = tempfile.mkdtemp(prefix="tpu_bls_coldcache_")
+# bench.py (imported below for input builders) re-applies the cache dir
+# from BENCH_CACHE_DIR at import time — keep the two in agreement
+os.environ["BENCH_CACHE_DIR"] = cache_dir
 jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_log_compiles", True)
@@ -56,13 +59,10 @@ class _CompileLog(logging.Handler):
 def main():
     log_n = int(os.environ.get("BENCH_LOG_N", "20"))
     handler = _CompileLog()
+    # the "jax" root only: child loggers (jax._src.compiler etc.) propagate
+    # up, so attaching to both double-counts every compile
     logging.getLogger("jax").addHandler(handler)
     logging.getLogger("jax").setLevel(logging.DEBUG)
-    for name in ("jax._src.dispatch", "jax._src.interpreters.pxla",
-                 "jax._src.compiler"):
-        lg = logging.getLogger(name)
-        lg.addHandler(handler)
-        lg.setLevel(logging.DEBUG)
 
     sys.path.insert(0, _REPO)
     from bench import _random_fr_mont, _random_g1_batch

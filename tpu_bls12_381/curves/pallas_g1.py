@@ -42,6 +42,84 @@ from ..fields.pallas_ops import (
 K = FQ.num_limbs
 
 
+def _g1_block() -> int:
+    """Lane block for the fused group-law kernels.
+
+    The CIOS limb pipeline keeps a stacked (K+2, L) accumulator plus
+    operand/modulus stacks live through the formula; at the field-op
+    block of 2048 lanes the 11-mul RCB16 madd kernel needs ~19 MB of
+    scoped VMEM (> the 16 MB limit).  1024 lanes halves the footprint
+    and the grid doubles — per-block overhead is noise at MSM sizes."""
+    return min(lane_block(), 1024)
+
+
+def _flat3(arrs, masks=()):
+    """Flatten (K, *batch) coords + (*batch,) masks to lane-block-padded
+    (K, W) / (1, W) canonical forms; returns (data, masks, n, batch_shape).
+
+    Runs OUTSIDE the jitted pallas entry so that every batch shape with
+    the same element count shares one trace + Mosaic lowering of the
+    kernel — batch-shape-keyed jits re-traced the whole unrolled limb
+    pipeline per caller shape, which dominated MSM cold start."""
+    batch_shape = arrs[0].shape[1:]
+    flat = [a.reshape(K, -1) for a in arrs]
+    n = flat[0].shape[-1]
+    pad = (-n) % _g1_block()
+    if pad:
+        flat = [jnp.pad(a, ((0, 0), (0, pad))) for a in flat]
+    ms = []
+    for m in masks:
+        m2 = m.reshape(1, -1).astype(jnp.uint32)
+        if pad:
+            m2 = jnp.pad(m2, ((0, 0), (0, pad)))
+        ms.append(m2)
+    return flat, ms, n, batch_shape
+
+
+def _unflat3(outs, n, batch_shape):
+    return tuple(c[:, :n].reshape((K,) + batch_shape) for c in outs)
+
+
+def _make_flat_call(kernel, n_data: int, n_mask: int, with_one: bool = False):
+    """Width-canonical jitted pallas_call for a 3-coordinate-out kernel.
+
+    Kernel argument order: n_data coordinate blocks (K, W), n_mask mask
+    blocks (1, W), then the constants (modulus column, n0, optionally
+    the Montgomery one)."""
+
+    @jax.jit
+    def call(*arrs):
+        width = arrs[0].shape[-1]
+        data = pl.BlockSpec((K, _g1_block()), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        mspec = pl.BlockSpec((1, _g1_block()), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((K, _g1_block()), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+        ncol, n0, one = _consts()
+        consts = [ncol, n0] + ([one] if with_one else [])
+        cspecs = [cspec, n0spec] + ([cspec] if with_one else [])
+        shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape, shape),
+            grid=(width // _g1_block(),),
+            in_specs=[data] * n_data + [mspec] * n_mask + cspecs,
+            out_specs=(data, data, data),
+            interpret=_interpret(),
+        )(*arrs, *consts)
+
+    def entry(*arrs):
+        from ..fields import aot
+
+        return aot.dispatch(f"g1_{kernel.__name__}_b{_g1_block()}",
+                            call, arrs)
+
+    return entry
+
+
 def _k_is_zero(rows):
     acc = rows[0] == 0
     for r in rows[1:]:
@@ -89,35 +167,14 @@ def _dbl_kernel(x1_ref, y1_ref, z1_ref, n_ref, n0_ref,
         z3_ref[i, :] = Z3[i]
 
 
-@jax.jit
+_jdbl_flat = _make_flat_call(_dbl_kernel, 3, 0)
+
+
 def jdbl(P):
     """Fused G1 Jacobian doubling; same contract as points.jac_double
     (dbl-2009-l is complete for Z = 0, point.cuh:610-666 analog)."""
-    batch_shape = P[0].shape[1:]
-    flat = lambda c: c.reshape(K, -1)
-    n = flat(P[0]).shape[-1]
-    pad = (-n) % lane_block()
-    arrs = [flat(c) for c in P]
-    if pad:
-        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
-    width = arrs[0].shape[-1]
-    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    ncol, n0, _one = _consts()
-    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
-    X3, Y3, Z3 = pl.pallas_call(
-        _dbl_kernel,
-        out_shape=(shape, shape, shape),
-        grid=(width // lane_block(),),
-        in_specs=[data] * 3 + [cspec, n0spec],
-        out_specs=(data, data, data),
-        interpret=_interpret(),
-    )(*arrs, ncol, n0)
-    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
-    return unflat(X3), unflat(Y3), unflat(Z3)
+    arrs, _, n, bs = _flat3(list(P))
+    return _unflat3(_jdbl_flat(*arrs), n, bs)
 
 
 def _madd_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, inf2_ref,
@@ -257,37 +314,16 @@ def _add_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
         z3_ref[i, :] = Z3[i]
 
 
-@jax.jit
+_jadd_flat = _make_flat_call(_add_kernel, 6, 0, with_one=True)
+
+
 def jadd(P, Q):
     """Fused G1 Jacobian + Jacobian addition; same contract as
     points.jac_add(FQ_ADAPTER, P, Q)."""
-    batch_shape = P[0].shape[1:]
-    flat = lambda c: c.reshape(K, -1)
-    n = flat(P[0]).shape[-1]
-    pad = (-n) % lane_block()
-    arrs = [flat(c) for c in (*P, *jax.tree_util.tree_map(
-        lambda c: jnp.broadcast_to(c, P[0].shape), Q))]
-    if pad:
-        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
-    width = arrs[0].shape[-1]
-    grid = width // lane_block()
-    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    ncol, n0, one = _consts()
-    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
-    X3, Y3, Z3 = pl.pallas_call(
-        _add_kernel,
-        out_shape=(shape, shape, shape),
-        grid=(grid,),
-        in_specs=[data] * 6 + [cspec, n0spec, cspec],
-        out_specs=(data, data, data),
-        interpret=_interpret(),
-    )(*arrs, ncol, n0, one)
-    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
-    return unflat(X3), unflat(Y3), unflat(Z3)
+    Qb = jax.tree_util.tree_map(
+        lambda c: jnp.broadcast_to(c, P[0].shape), Q)
+    arrs, _, n, bs = _flat3([*P, *Qb])
+    return _unflat3(_jadd_flat(*arrs), n, bs)
 
 
 # -----------------------------------------------------------------------------
@@ -414,43 +450,16 @@ def _pmadd_signed_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, inf2_ref,
         z3_ref[i, :] = Z3[i]
 
 
-@jax.jit
+_pmadd_signed_flat = _make_flat_call(_pmadd_signed_kernel, 5, 2)
+
+
 def pmadd_signed(P, A, sign):
     """Fused projective + (+-affine) addition: adds A where sign is False,
     -A where True (projective.proj_add_mixed_signed_fast contract)."""
     X1, Y1, Z1 = P
     x2, y2, inf2 = A
-    batch_shape = X1.shape[1:]
-    flat = lambda c: c.reshape(K, -1)
-    n = flat(X1).shape[-1]
-    pad = (-n) % lane_block()
-    arrs = [flat(c) for c in (X1, Y1, Z1, x2, y2)]
-    m2 = inf2.reshape(1, -1).astype(jnp.uint32)
-    sg = sign.reshape(1, -1).astype(jnp.uint32)
-    if pad:
-        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
-        m2 = jnp.pad(m2, ((0, 0), (0, pad)))
-        sg = jnp.pad(sg, ((0, 0), (0, pad)))
-    width = arrs[0].shape[-1]
-    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, lane_block()), lambda i: (0, i),
-                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    ncol, n0, _one = _consts()
-    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
-    X3, Y3, Z3 = pl.pallas_call(
-        _pmadd_signed_kernel,
-        out_shape=(shape, shape, shape),
-        grid=(width // lane_block(),),
-        in_specs=[data] * 5 + [mspec, mspec, cspec, n0spec],
-        out_specs=(data, data, data),
-        interpret=_interpret(),
-    )(*arrs, m2, sg, ncol, n0)
-    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
-    return unflat(X3), unflat(Y3), unflat(Z3)
+    arrs, ms, n, bs = _flat3([X1, Y1, Z1, x2, y2], [inf2, sign])
+    return _unflat3(_pmadd_signed_flat(*arrs, *ms), n, bs)
 
 
 def _padd_kernel(x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref,
@@ -480,138 +489,46 @@ def _pdbl_kernel(x1_ref, y1_ref, z1_ref, n_ref, n0_ref,
         z3_ref[i, :] = Z3[i]
 
 
-@jax.jit
+_pmadd_flat = _make_flat_call(_pmadd_kernel, 5, 1)
+
+
 def pmadd(P, A):
     """Fused complete projective + affine addition (projective.proj_add_mixed
     contract)."""
     X1, Y1, Z1 = P
     x2, y2, inf2 = A
-    batch_shape = X1.shape[1:]
-    flat = lambda c: c.reshape(K, -1)
-    n = flat(X1).shape[-1]
-    pad = (-n) % lane_block()
-    arrs = [flat(c) for c in (X1, Y1, Z1, x2, y2)]
-    m2 = inf2.reshape(1, -1).astype(jnp.uint32)
-    if pad:
-        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
-        m2 = jnp.pad(m2, ((0, 0), (0, pad)))
-    width = arrs[0].shape[-1]
-    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, lane_block()), lambda i: (0, i),
-                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    ncol, n0, _one = _consts()
-    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
-    X3, Y3, Z3 = pl.pallas_call(
-        _pmadd_kernel,
-        out_shape=(shape, shape, shape),
-        grid=(width // lane_block(),),
-        in_specs=[data] * 5 + [mspec, cspec, n0spec],
-        out_specs=(data, data, data),
-        interpret=_interpret(),
-    )(*arrs, m2, ncol, n0)
-    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
-    return unflat(X3), unflat(Y3), unflat(Z3)
+    arrs, ms, n, bs = _flat3([X1, Y1, Z1, x2, y2], [inf2])
+    return _unflat3(_pmadd_flat(*arrs, *ms), n, bs)
 
 
-@jax.jit
+_padd_flat = _make_flat_call(_padd_kernel, 6, 0)
+
+
 def padd(P, Q):
     """Fused complete projective + projective addition (projective.proj_add
     contract)."""
-    batch_shape = P[0].shape[1:]
-    flat = lambda c: c.reshape(K, -1)
-    n = flat(P[0]).shape[-1]
-    pad = (-n) % lane_block()
-    arrs = [flat(c) for c in (*P, *jax.tree_util.tree_map(
-        lambda c: jnp.broadcast_to(c, P[0].shape), Q))]
-    if pad:
-        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
-    width = arrs[0].shape[-1]
-    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    ncol, n0, _one = _consts()
-    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
-    X3, Y3, Z3 = pl.pallas_call(
-        _padd_kernel,
-        out_shape=(shape, shape, shape),
-        grid=(width // lane_block(),),
-        in_specs=[data] * 6 + [cspec, n0spec],
-        out_specs=(data, data, data),
-        interpret=_interpret(),
-    )(*arrs, ncol, n0)
-    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
-    return unflat(X3), unflat(Y3), unflat(Z3)
+    Qb = jax.tree_util.tree_map(
+        lambda c: jnp.broadcast_to(c, P[0].shape), Q)
+    arrs, _, n, bs = _flat3([*P, *Qb])
+    return _unflat3(_padd_flat(*arrs), n, bs)
 
 
-@jax.jit
+_pdbl_flat = _make_flat_call(_pdbl_kernel, 3, 0)
+
+
 def pdbl(P):
     """Fused complete projective doubling (projective.proj_double contract)."""
-    batch_shape = P[0].shape[1:]
-    flat = lambda c: c.reshape(K, -1)
-    n = flat(P[0]).shape[-1]
-    pad = (-n) % lane_block()
-    arrs = [flat(c) for c in P]
-    if pad:
-        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
-    width = arrs[0].shape[-1]
-    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    ncol, n0, _one = _consts()
-    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
-    X3, Y3, Z3 = pl.pallas_call(
-        _pdbl_kernel,
-        out_shape=(shape, shape, shape),
-        grid=(width // lane_block(),),
-        in_specs=[data] * 3 + [cspec, n0spec],
-        out_specs=(data, data, data),
-        interpret=_interpret(),
-    )(*arrs, ncol, n0)
-    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
-    return unflat(X3), unflat(Y3), unflat(Z3)
+    arrs, _, n, bs = _flat3(list(P))
+    return _unflat3(_pdbl_flat(*arrs), n, bs)
 
 
-@jax.jit
+_madd_flat = _make_flat_call(_madd_kernel, 5, 1, with_one=True)
+
+
 def madd(P, A):
     """Fused G1 Jacobian + affine addition; same contract as
     points.jac_add_affine(FQ_ADAPTER, P, A)."""
     X1, Y1, Z1 = P
     x2, y2, inf2 = A
-    batch_shape = X1.shape[1:]
-    flat = lambda c: c.reshape(K, -1)
-    n = flat(X1).shape[-1]
-    pad = (-n) % lane_block()
-    arrs = [flat(c) for c in (X1, Y1, Z1, x2, y2)]
-    m2 = inf2.reshape(1, -1).astype(jnp.uint32)
-    if pad:
-        arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in arrs]
-        m2 = jnp.pad(m2, ((0, 0), (0, pad)))
-    width = arrs[0].shape[-1]
-    grid = width // lane_block()
-    data = pl.BlockSpec((K, lane_block()), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, lane_block()), lambda i: (0, i),
-                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, lane_block()), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    ncol, n0, one = _consts()
-    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
-    X3, Y3, Z3 = pl.pallas_call(
-        _madd_kernel,
-        out_shape=(shape, shape, shape),
-        grid=(grid,),
-        in_specs=[data] * 5 + [mspec, cspec, n0spec, cspec],
-        out_specs=(data, data, data),
-        interpret=_interpret(),
-    )(*arrs, m2, ncol, n0, one)
-    unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
-    return unflat(X3), unflat(Y3), unflat(Z3)
+    arrs, ms, n, bs = _flat3([X1, Y1, Z1, x2, y2], [inf2])
+    return _unflat3(_madd_flat(*arrs, *ms), n, bs)

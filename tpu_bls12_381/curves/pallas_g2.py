@@ -237,32 +237,59 @@ def _flatten_fq2(e):
     return [e[0].reshape(K, -1), e[1].reshape(K, -1)]
 
 
+_FLAT_CALLS: dict = {}
+
+
+def _flat_call(kernel, n_data: int, n_mask: int):
+    """Width-canonical jitted pallas_call, cached per kernel: flattening
+    and padding happen OUTSIDE, so every batch shape with the same
+    element count shares one trace + Mosaic lowering (batch-shape-keyed
+    jits re-traced the whole limb pipeline per caller shape)."""
+    key = (kernel, n_data, n_mask)
+    fn = _FLAT_CALLS.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def call(*arrs):
+        width = arrs[0].shape[-1]
+        data = pl.BlockSpec((K, G2_LANE_BLOCK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        mspec = pl.BlockSpec((1, G2_LANE_BLOCK), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((K, G2_LANE_BLOCK), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+        ncol, n0 = _consts()
+        shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(shape,) * 6,
+            grid=(width // G2_LANE_BLOCK,),
+            in_specs=[data] * n_data + [mspec] * n_mask + [cspec, n0spec],
+            out_specs=(data,) * 6,
+            interpret=_interpret(),
+        )(*arrs, ncol, n0)
+
+    def entry(*arrs):
+        from ..fields import aot
+
+        return aot.dispatch(f"g2_{kernel.__name__}_b{G2_LANE_BLOCK}",
+                            call, arrs)
+
+    _FLAT_CALLS[key] = entry
+    return entry
+
+
 def _call(kernel, point_arrs, mask_arrs, batch_shape, n):
-    """Shared pallas_call plumbing: pad, block, run, unpad."""
+    """Shared plumbing: pad outside, run the width-canonical jit, unpad."""
     pad = (-n) % G2_LANE_BLOCK
     if pad:
         point_arrs = [jnp.pad(c, ((0, 0), (0, pad))) for c in point_arrs]
         mask_arrs = [jnp.pad(m, ((0, 0), (0, pad))) for m in mask_arrs]
-    width = point_arrs[0].shape[-1]
-    grid = width // G2_LANE_BLOCK
-    data = pl.BlockSpec((K, G2_LANE_BLOCK), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, G2_LANE_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((K, G2_LANE_BLOCK), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    n0spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    ncol, n0 = _consts()
-    shape = jax.ShapeDtypeStruct((K, width), jnp.uint32)
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=(shape,) * 6,
-        grid=(grid,),
-        in_specs=[data] * len(point_arrs) + [mspec] * len(mask_arrs)
-        + [cspec, n0spec],
-        out_specs=(data,) * 6,
-        interpret=_interpret(),
-    )(*point_arrs, *mask_arrs, ncol, n0)
+    outs = _flat_call(kernel, len(point_arrs), len(mask_arrs))(
+        *point_arrs, *mask_arrs)
     unflat = lambda c: c[:, :n].reshape((K,) + batch_shape)
     o = [unflat(c) for c in outs]
     return ((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
@@ -305,6 +332,5 @@ def pdbl2(P):
     return _call(_pdbl2_kernel, pts, [], batch_shape, n)
 
 
-pmadd2 = jax.jit(pmadd2)
-padd2 = jax.jit(padd2)
-pdbl2 = jax.jit(pdbl2)
+# (no whole-wrapper jit: the flatten/pad prologues stay in the caller's
+# trace and the pallas entry itself is the width-canonical _flat_call)

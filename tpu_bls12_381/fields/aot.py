@@ -1,0 +1,161 @@
+"""AOT export cache for the Pallas kernel entry points.
+
+The cold-start problem (artifacts/COLDSTART_*.json): the unrolled limb
+kernels cost ~75 s of HOST-side work per kernel instance — jax tracing
+(~40k jnp calls) plus jaxpr->MLIR Mosaic lowering — and that cost is
+paid per (kernel, flattened width) in EVERY process, even when every
+XLA compile hits the persistent compilation cache (measured: first MSM
+call ~350 s with 62 cache hits and zero compiles).  The reference has
+no analog problem: its kernels are compiled once by nvcc at build time
+(bls12-381/CMakeLists.txt); this module is the build-time-compile
+equivalent for the JAX world.
+
+Mechanism: the first time a kernel entry runs at a given width,
+``jax.export`` traces + lowers it ONCE and the serialized StableHLO
+module (with the Mosaic payload embedded) is written to a disk cache.
+Every later use — in this process or any other — deserializes and calls
+the exported module: no kernel tracing, no Mosaic lowering; the XLA
+backend compile of the module is covered by the persistent compilation
+cache.  ``Exported.call`` is traceable, so kernel calls inside the
+jitted MSM/NTT stage graphs inline the cached module and the stage
+traces stay cheap too.
+
+Scope guards: disabled off-TPU (CPU CI runs Pallas in interpret mode),
+under vmap/pmap transforms (the exported-call primitive has no batching
+rule), and by MIDNIGHT_AOT_CACHE=0.  Any failure falls back to the
+plain jitted path — the cache is an accelerator, never a correctness
+dependency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import threading
+
+import jax
+
+logger = logging.getLogger("tpu_bls12_381.aot")
+
+_MEM: dict = {}
+_LOCK = threading.Lock()
+_SRC_HASH: str | None = None
+_ENABLED: bool | None = None
+
+
+def _enabled() -> bool:
+    global _ENABLED
+    if _ENABLED is None:
+        if os.environ.get("MIDNIGHT_AOT_CACHE", "1") == "0":
+            _ENABLED = False
+        else:
+            try:
+                _ENABLED = jax.default_backend() == "tpu"
+            except Exception:
+                _ENABLED = False
+    return _ENABLED
+
+
+def _cache_dir() -> str:
+    return os.environ.get("MIDNIGHT_AOT_CACHE_DIR",
+                          "/tmp/tpu_bls12_381_aot_cache")
+
+
+def _source_hash() -> str:
+    """Hash of the kernel-defining sources + jax version: a kernel edit
+    or toolchain bump must invalidate every cached module."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        h = hashlib.sha256(jax.__version__.encode())
+        base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for rel in ("fields/pallas_ops.py", "curves/pallas_g1.py",
+                    "curves/pallas_g2.py", "curves/projective.py"):
+            try:
+                with open(os.path.join(base, rel), "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                pass
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
+def _args_ok(args) -> bool:
+    """True when every arg is a concrete array or a plain jit tracer
+    (exported calls inline fine under jit; vmap/pmap tracers do not)."""
+    try:
+        from jax._src.interpreters.partial_eval import DynamicJaxprTracer
+    except ImportError:  # pragma: no cover - jax internals moved
+        return not any(isinstance(a, jax.core.Tracer) for a in args)
+    for a in args:
+        if isinstance(a, jax.core.Tracer) and not isinstance(
+                a, DynamicJaxprTracer):
+            return False
+    return True
+
+
+def _key(tag: str, args) -> str:
+    sig = ",".join(f"{a.dtype}{list(a.shape)}" for a in args)
+    raw = f"{tag}|{sig}|{_source_hash()}"
+    return f"{tag.split('|')[0]}-{hashlib.sha256(raw.encode()).hexdigest()[:24]}"
+
+
+def dispatch(tag: str, jit_fn, args):
+    """Run ``jit_fn(*args)`` through the AOT export cache when possible."""
+    if not _enabled() or not _args_ok(args):
+        return jit_fn(*args)
+    key = _key(tag, args)
+    exp = _MEM.get(key)
+    if exp is None:
+        exp = _load(key)
+        if exp is None:
+            exp = _build(tag, key, jit_fn, args)
+        if exp is None:
+            return jit_fn(*args)
+        with _LOCK:
+            _MEM[key] = exp
+    try:
+        return exp.call(*args)
+    except Exception as e:  # pragma: no cover - defensive
+        logger.warning("aot call failed for %s (%s); plain jit", tag, e)
+        return jit_fn(*args)
+
+
+def _build(tag, key, jit_fn, args):
+    try:
+        from jax import export as jexport
+
+        shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
+        exp = jexport.export(jit_fn)(*shapes)
+        try:
+            os.makedirs(_cache_dir(), exist_ok=True)
+            tmp = os.path.join(_cache_dir(), f".{key}.{os.getpid()}")
+            with open(tmp, "wb") as f:
+                f.write(exp.serialize())
+            os.replace(tmp, os.path.join(_cache_dir(), key))
+        except OSError as e:
+            logger.info("aot cache write failed for %s: %s", tag, e)
+        return exp
+    except Exception as e:
+        logger.warning("aot export failed for %s (%s); plain jit", tag, e)
+        return None
+
+
+def _load(key):
+    path = os.path.join(_cache_dir(), key)
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    try:
+        from jax import export as jexport
+
+        return jexport.deserialize(bytearray(data))
+    except Exception as e:  # stale/corrupt entry: drop it
+        logger.info("aot cache entry %s unreadable (%s); removing", key, e)
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        return None
