@@ -31,7 +31,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/tpu_bls12_381_jax_cache")
 if os.environ.get("COLD"):
+    # true cold start: fresh XLA persistent cache AND fresh AOT export
+    # cache (fields/aot.py)
     cache_dir = tempfile.mkdtemp(prefix="tpu_bls_coldcache_")
+    os.environ["MIDNIGHT_AOT_CACHE_DIR"] = tempfile.mkdtemp(
+        prefix="tpu_bls_coldaot_")
 # bench.py (imported below for input builders) re-applies the cache dir
 # from BENCH_CACHE_DIR at import time — keep the two in agreement
 os.environ["BENCH_CACHE_DIR"] = cache_dir

@@ -39,6 +39,7 @@ import jax
 logger = logging.getLogger("tpu_bls12_381.aot")
 
 _MEM: dict = {}
+_JITS: dict = {}
 _LOCK = threading.Lock()
 _SRC_HASH: str | None = None
 _ENABLED: bool | None = None
@@ -94,38 +95,60 @@ def _args_ok(args) -> bool:
     return True
 
 
-def _key(tag: str, args) -> str:
-    sig = ",".join(f"{a.dtype}{list(a.shape)}" for a in args)
-    raw = f"{tag}|{sig}|{_source_hash()}"
-    return f"{tag.split('|')[0]}-{hashlib.sha256(raw.encode()).hexdigest()[:24]}"
+def _key(tag: str, leaves, treedef) -> str:
+    sig = ",".join(f"{a.dtype}{list(a.shape)}" for a in leaves)
+    raw = f"{tag}|{sig}|{treedef}|{_source_hash()}"
+    safe = "".join(c if c.isalnum() or c in "._-" else "_"
+                   for c in tag.split("|")[0])[:48]
+    return f"{safe}-{hashlib.sha256(raw.encode()).hexdigest()[:24]}"
 
 
-def dispatch(tag: str, jit_fn, args):
-    """Run ``jit_fn(*args)`` through the AOT export cache when possible."""
-    if not _enabled() or not _args_ok(args):
-        return jit_fn(*args)
-    key = _key(tag, args)
+def dispatch(tag: str, jit_fn, args, lazy: bool = False):
+    """Run ``jit_fn(*args)`` through the AOT export cache when possible.
+
+    ``args`` may be pytrees (stage inputs are coordinate trees).  With
+    ``lazy`` the second parameter is a zero-arg builder returning the
+    jitted function — only invoked on a cache miss or fallback, so hot
+    paths never construct throwaway jit wrappers."""
+    def plain():
+        # memoize lazily-built jits by tag: a fresh jit object per call
+        # would discard jax's trace cache (statics are baked into tag)
+        if not lazy:
+            return jit_fn
+        fn = _JITS.get(tag)
+        if fn is None:
+            fn = jit_fn()
+            with _LOCK:
+                _JITS[tag] = fn
+        return fn
+
+    leaves = jax.tree_util.tree_leaves(args)
+    if not _enabled() or not _args_ok(leaves):
+        return plain()(*args)
+    treedef = jax.tree_util.tree_structure(args)
+    key = _key(tag, leaves, treedef)
     exp = _MEM.get(key)
     if exp is None:
         exp = _load(key)
         if exp is None:
-            exp = _build(tag, key, jit_fn, args)
+            exp = _build(tag, key, plain(), args)
         if exp is None:
-            return jit_fn(*args)
+            return plain()(*args)
         with _LOCK:
             _MEM[key] = exp
     try:
         return exp.call(*args)
     except Exception as e:  # pragma: no cover - defensive
         logger.warning("aot call failed for %s (%s); plain jit", tag, e)
-        return jit_fn(*args)
+        return plain()(*args)
 
 
 def _build(tag, key, jit_fn, args):
     try:
         from jax import export as jexport
 
-        shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
+        shapes = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args)
         exp = jexport.export(jit_fn)(*shapes)
         try:
             os.makedirs(_cache_dir(), exist_ok=True)

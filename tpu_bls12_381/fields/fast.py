@@ -72,3 +72,19 @@ def butterfly(spec: FieldSpec, even, odd, w):
         return pallas_ops.butterfly(spec, even, odd, w)
     t = ops.mont_mul(spec, odd, w)
     return ops.add(spec, even, t), ops.sub(spec, even, t)
+
+
+def from_mont(spec: FieldSpec, a):
+    """Montgomery -> standard form via the Pallas multiply (a * 1 * R^-1).
+
+    On the tunneled axon platform the jnp scan-CIOS `ops.from_mont`
+    executable stalls ~170 s on its first 2^20-element invocation in
+    every fresh process (neither trace nor local XLA-compile time —
+    server-side program handling); the Pallas kernel path is covered by
+    the AOT export cache and is also faster steady-state."""
+    if use_pallas():
+        import jax.numpy as jnp
+
+        one = jnp.zeros_like(a).at[0].set(jnp.uint32(1))
+        return pallas_ops.mont_mul(spec, a, one)
+    return ops.from_mont(spec, a)

@@ -53,7 +53,7 @@ from ..tuning import chip_profile
 from ..curves import points as pt
 from ..curves import projective as pj
 from ..curves.field_adapters import FQ_ADAPTER, FQ2_ADAPTER
-from ..fields import FQ, FR, ops
+from ..fields import FQ, FR, fast, ops
 
 tree_map = jax.tree_util.tree_map
 
@@ -499,6 +499,92 @@ def _stage_to_jac(F, P):
     return pj.proj_to_jac(F, P)
 
 
+def _fname(F) -> str:
+    return "fq2" if F is FQ2_ADAPTER else "fq"
+
+
+def _aot_stage(tag: str, statics: tuple, builder, args):
+    """Stage-level AOT export cache (fields/aot.py).
+
+    Even with every kernel export and XLA executable cache-hit, a fresh
+    process re-traces each staged jit and re-splices the exported kernel
+    modules at lowering time — measured ~30-120 s per first MSM call at
+    production shapes.  Caching the lowered STAGE modules removes that:
+    a warm process deserializes and runs.  Only the single-chip Python
+    orchestration paths route through here (concrete arrays); the
+    pmap/vmap chunked paths call the plain staged jits."""
+    from ..fields import aot
+
+    key = "msm_" + tag + "|" + ",".join(str(s) for s in statics)
+    return aot.dispatch(key, builder, args, lazy=True)
+
+
+def _r_sort_tile(F, key2, R, L, em_rows, inf):
+    return _aot_stage(
+        "sort_tile", (_fname(F), R, L),
+        lambda: jax.jit(lambda k, e, i: _stage_sort_tile(F, k, R, L, e, i)),
+        (key2, em_rows, inf))
+
+
+def _r_scan(F, x_rows, y_rows, sign_rows, inf_rows):
+    return _aot_stage(
+        "scan", (_fname(F),),
+        lambda: jax.jit(lambda a, b, c, d: _stage_scan(F, a, b, c, d)),
+        (x_rows, y_rows, sign_rows, inf_rows))
+
+
+def _r_stitch(F, col_total):
+    return _aot_stage(
+        "stitch", (_fname(F),),
+        lambda: jax.jit(lambda c: _stage_stitch(F, c)), (col_total,))
+
+
+def _r_boundary(F, key_sorted, col_carry, nb, prefix_rows):
+    return _aot_stage(
+        "boundary", (_fname(F), nb),
+        lambda: jax.jit(
+            lambda k, c, p: _stage_boundary(F, k, c, nb, p)),
+        (key_sorted, col_carry, prefix_rows))
+
+
+def _r_triangle(F, buckets, nb):
+    return _aot_stage(
+        "triangle", (_fname(F), nb),
+        lambda: jax.jit(lambda b: _stage_triangle_scans(F, b, nb)),
+        (buckets,))
+
+
+def _r_combine(F, w_rows, w_cols, total, lb_bits):
+    return _aot_stage(
+        "combine", (_fname(F), lb_bits),
+        lambda: jax.jit(
+            lambda a, b, c: _stage_triangle_combine(F, a, b, c, lb_bits)),
+        (w_rows, w_cols, total))
+
+
+def _r_horner_to_jac(F, Ws, w):
+    return _aot_stage(
+        "horner_to_jac", (_fname(F), w),
+        lambda: jax.jit(
+            lambda x: _stage_to_jac(F, _stage_horner(F, x, w))), (Ws,))
+
+
+def _r_sort_tile_batch(F, keys, R, L, em_rows, inf):
+    return _aot_stage(
+        "sort_tile_batch", (_fname(F), R, L),
+        lambda: jax.jit(
+            lambda k, e, i: _stage_sort_tile_batch(F, k, R, L, e, i)),
+        (keys, em_rows, inf))
+
+
+def _r_boundary_batch(F, key_sorted, col_carry, nb, prefix_rows):
+    return _aot_stage(
+        "boundary_batch", (_fname(F), nb),
+        lambda: jax.jit(
+            lambda k, c, p: _stage_boundary_batch(F, k, c, nb, p)),
+        (key_sorted, col_carry, prefix_rows))
+
+
 def glv_split_scalars(scalars_std):
     """Standard-form Fr scalars (16, ..., N) -> ([k1 || k2], 128) along the
     point axis: the GLV halves of k = k1 + k2*lambda, zero-padded back to
@@ -624,7 +710,7 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
     if n > (1 << constants.MAX_MSM_LOG_SIZE):
         raise ValueError(f"MSM size {n} exceeds 2^{constants.MAX_MSM_LOG_SIZE}")
     if scalars_montgomery:
-        scalars = ops.from_mont(FR, scalars)
+        scalars = fast.from_mont(FR, scalars)
     budget = _available_budget(scalars, x, y, inf)
     if glv is None:
         from ..runtime.config import config
@@ -681,19 +767,19 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
 
     window_sums = []
     for t in range(T):
-        key_sorted, x_rows, y_rows, sign_rows, inf_rows = _stage_sort_tile(
+        key_sorted, x_rows, y_rows, sign_rows, inf_rows = _r_sort_tile(
             F, keys[t], R, L, em_rows, inf
         )
-        col_total, prefix_rows = _stage_scan(
+        col_total, prefix_rows = _r_scan(
             F, x_rows, y_rows, sign_rows, inf_rows)
-        col_carry = _stage_stitch(F, col_total)
-        buckets = _stage_boundary(F, key_sorted, col_carry, nb, prefix_rows)
-        w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
+        col_carry = _r_stitch(F, col_total)
+        buckets = _r_boundary(F, key_sorted, col_carry, nb, prefix_rows)
+        w_rows, w_cols, total = _r_triangle(F, buckets, nb)
         window_sums.append(
-            _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
+            _r_combine(F, w_rows, w_cols, total, lb_bits)
         )
     Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
-    return _stage_to_jac(F, _stage_horner(F, Ws, w))
+    return _r_horner_to_jac(F, Ws, w)
 
 
 def msm_g1(scalars, A, **kw):
@@ -766,7 +852,7 @@ def msm_batch_shared(F, scalars_b, A, *, window_bits: int | None = None,
     x, y, inf = A
     n_eff = inf.shape[-1]
     if scalars_montgomery:
-        scalars_b = ops.from_mont(FR, scalars_b)
+        scalars_b = fast.from_mont(FR, scalars_b)
     num_bits = FR_BITS
     if glv:
         scalars_b, num_bits = glv_split_scalars(scalars_b)
@@ -845,18 +931,18 @@ def _msm_batch_core(F, scalars_b, A, w: int, factor: int, num_bits: int):
     window_sums = []
     for t in range(keys.shape[0]):
         key_sorted, x_rows, y_rows, sign_rows, inf_rows = \
-            _stage_sort_tile_batch(F, keys[t], R, L, em_rows, inf)
-        col_total, prefix_rows = _stage_scan(
+            _r_sort_tile_batch(F, keys[t], R, L, em_rows, inf)
+        col_total, prefix_rows = _r_scan(
             F, x_rows, y_rows, sign_rows, inf_rows)
-        col_carry = _stage_stitch(F, col_total)
-        buckets = _stage_boundary_batch(
+        col_carry = _r_stitch(F, col_total)
+        buckets = _r_boundary_batch(
             F, key_sorted, col_carry, nb, prefix_rows)
-        w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
+        w_rows, w_cols, total = _r_triangle(F, buckets, nb)
         window_sums.append(
-            _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
+            _r_combine(F, w_rows, w_cols, total, lb_bits)
         )
     Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
-    return _stage_to_jac(F, _stage_horner(F, Ws, w))
+    return _r_horner_to_jac(F, Ws, w)
 
 
 # -----------------------------------------------------------------------------
@@ -927,7 +1013,7 @@ def msm_chunked(F, scalars_c, A_c, *, window_bits: int | None = None,
         sort keys (factor-regrouped to match expanded bases)."""
         sc = sc_c  # (16, mloc) limbs-first within the chunk
         if scalars_montgomery:
-            sc = ops.from_mont(FR, sc)
+            sc = fast.from_mont(FR, sc)
         if glv:
             sc, _ = glv_split_scalars(sc)
         if factor > 1:
@@ -987,7 +1073,7 @@ def msm_traceable(F, scalars, A, *, window_bits: int | None = None,
     x, y, inf = A
     n = inf.shape[-1]
     if scalars_montgomery:
-        scalars = ops.from_mont(FR, scalars)
+        scalars = fast.from_mont(FR, scalars)
     w = window_bits or window_bits_for(n, F)
     nb = 1 << (w - 1)
     L = lane_tile_for(n, F)
@@ -1138,7 +1224,7 @@ def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
     x, y, inf = A_expanded
     n_eff = inf.shape[-1]
     if scalars_montgomery:
-        scalars = ops.from_mont(FR, scalars)
+        scalars = fast.from_mont(FR, scalars)
     num_bits = FR_BITS
     if glv:
         scalars, num_bits = glv_split_scalars(scalars)
@@ -1181,16 +1267,16 @@ def _msm_precomputed_core(F, scalars_std, A_expanded, w: int, factor: int,
 
     window_sums = []
     for t in range(keys.shape[0]):
-        key_sorted, x_rows, y_rows, sign_rows, inf_rows = _stage_sort_tile(
+        key_sorted, x_rows, y_rows, sign_rows, inf_rows = _r_sort_tile(
             F, keys[t], R, L, em_rows, inf
         )
-        col_total, prefix_rows = _stage_scan(
+        col_total, prefix_rows = _r_scan(
             F, x_rows, y_rows, sign_rows, inf_rows)
-        col_carry = _stage_stitch(F, col_total)
-        buckets = _stage_boundary(F, key_sorted, col_carry, nb, prefix_rows)
-        w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
+        col_carry = _r_stitch(F, col_total)
+        buckets = _r_boundary(F, key_sorted, col_carry, nb, prefix_rows)
+        w_rows, w_cols, total = _r_triangle(F, buckets, nb)
         window_sums.append(
-            _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
+            _r_combine(F, w_rows, w_cols, total, lb_bits)
         )
     Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
-    return _stage_to_jac(F, _stage_horner(F, Ws, w))
+    return _r_horner_to_jac(F, Ws, w)
