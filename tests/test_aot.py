@@ -1,0 +1,111 @@
+"""AOT export cache (fields/aot.py) unit behavior.
+
+The chip-side effect (exported modules skipping kernel re-trace) is
+exercised by the TPU measurement pass; these tests pin the host-side
+contracts: disabled-backend fallback, lazy-jit memoization (a fresh jit
+object per call would silently discard jax's trace cache), tracer
+guards, and cache-key stability.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_bls12_381.fields import aot
+
+
+@pytest.fixture(autouse=True)
+def _fresh_state(tmp_path, monkeypatch):
+    monkeypatch.setenv("MIDNIGHT_AOT_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(aot, "_MEM", {})
+    monkeypatch.setattr(aot, "_JITS", {})
+    monkeypatch.setattr(aot, "_ENABLED", None)
+    yield
+
+
+def test_disabled_on_cpu_falls_back(monkeypatch):
+    # CI runs on CPU: dispatch must route straight to the jit path
+    assert jax.default_backend() != "tpu"
+    calls = []
+
+    @jax.jit
+    def f(x):
+        return x + 1
+
+    def traced(x):
+        calls.append(1)
+        return f(x)
+
+    out = aot.dispatch("t1", traced, (jnp.arange(4, dtype=jnp.uint32),))
+    np.testing.assert_array_equal(np.asarray(out), [1, 2, 3, 4])
+    assert calls == [1]
+    assert aot._MEM == {}  # nothing exported
+
+
+def test_lazy_builder_memoized(monkeypatch):
+    built = []
+
+    def builder():
+        built.append(1)
+        return jax.jit(lambda x: x * 2)
+
+    x = jnp.arange(3, dtype=jnp.uint32)
+    for _ in range(3):
+        out = aot.dispatch("t2|8", builder, (x,), lazy=True)
+    np.testing.assert_array_equal(np.asarray(out), [0, 2, 4])
+    assert len(built) == 1, "lazy jit must be built once per tag"
+
+
+def test_key_depends_on_shapes_and_tree():
+    a = jnp.zeros((4,), jnp.uint32)
+    b = jnp.zeros((8,), jnp.uint32)
+    td1 = jax.tree_util.tree_structure((a,))
+    td2 = jax.tree_util.tree_structure(((a,),))
+    k1 = aot._key("tag", [a], td1)
+    k2 = aot._key("tag", [b], td1)
+    k3 = aot._key("tag", [a], td2)
+    k4 = aot._key("other", [a], td1)
+    assert len({k1, k2, k3, k4}) == 4
+    assert k1 == aot._key("tag", [a], td1)  # stable
+
+
+def test_tracer_guard_under_vmap(monkeypatch):
+    # force-enable so the guard itself is what bypasses
+    monkeypatch.setattr(aot, "_ENABLED", True)
+    exported = []
+    monkeypatch.setattr(aot, "_build",
+                        lambda *a, **k: exported.append(1) or None)
+
+    @jax.jit
+    def f(x):
+        return x + 1
+
+    out = jax.vmap(lambda x: aot.dispatch("t3", f, (x,)))(
+        jnp.arange(6, dtype=jnp.uint32).reshape(2, 3))
+    np.testing.assert_array_equal(np.asarray(out),
+                                  [[1, 2, 3], [4, 5, 6]])
+    assert exported == [], "batch tracers must bypass the export path"
+
+
+def test_jit_tracers_allowed(monkeypatch):
+    monkeypatch.setattr(aot, "_ENABLED", True)
+    seen = []
+
+    def fake_build(tag, key, fn, args):
+        seen.append(tag)
+        return None  # force fallback after the attempt
+
+    monkeypatch.setattr(aot, "_build", fake_build)
+
+    @jax.jit
+    def inner(x):
+        return x * 3
+
+    @jax.jit
+    def outer(x):
+        return aot.dispatch("t4", inner, (x,))
+
+    out = outer(jnp.arange(3, dtype=jnp.uint32))
+    np.testing.assert_array_equal(np.asarray(out), [0, 3, 6])
+    assert seen == ["t4"], "plain jit tracers should reach the export path"
