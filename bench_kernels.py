@@ -142,6 +142,54 @@ def kernel_entries():
     return ent
 
 
+def measure_u32_mul_ceiling() -> float:
+    """Measured silicon ceiling for dependent u32 multiplies (ops/s).
+
+    The per-chip `vpu_int32_gops` in tuning.py is derived from published
+    bf16 MXU numbers and over-states what the VPU sustains on 32-bit
+    integer MULTIPLIES (likely cracked into several narrower ops).  This
+    microkernel runs a pure chain of u32 multiply+add pairs in VMEM —
+    the same op mix that dominates the limb kernels — and reports
+    achieved integer ops/s, giving an *empirical* roofline denominator
+    for the Montgomery-multiply SoL rows (the round-3 "25.6% of SoL"
+    number was 25.6% of a paper ceiling, not of silicon)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from tpu_bls12_381.fields.pallas_ops import lane_block, _interpret
+
+    DEPTH = 256  # multiply+add pairs per element per kernel pass
+    ROWS = 8
+
+    def kernel(a_ref, b_ref, o_ref):
+        a = [a_ref[i, :] for i in range(ROWS)]
+        b = [b_ref[i, :] for i in range(ROWS)]
+        for _ in range(DEPTH // 2):
+            a = [x * y + x for x, y in zip(a, b)]
+            b = [y * x + y for x, y in zip(a, b)]
+        for i in range(ROWS):
+            o_ref[i, :] = a[i]
+
+    n = 1 << 18
+    rng = np.random.default_rng(9)
+    a = jnp.asarray(rng.integers(1, 1 << 16, size=(ROWS, n),
+                                 dtype=np.uint64).astype(np.uint32))
+    b = jnp.asarray(rng.integers(1, 1 << 16, size=(ROWS, n),
+                                 dtype=np.uint64).astype(np.uint32))
+    data = pl.BlockSpec((ROWS, lane_block()), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    run = jax.jit(lambda x, y: pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ROWS, n), jnp.uint32),
+        grid=(n // lane_block(),),
+        in_specs=[data, data],
+        out_specs=data,
+        interpret=_interpret(),
+    )(x, y))
+    best = _time(run, a, b)
+    # DEPTH mul+add pairs per lane value = 2*DEPTH int ops
+    return ROWS * n * 2 * DEPTH / best
+
+
 def end_to_end():
     """MSM / NTT end-to-end rates expressed in fused-kernel mul-equivalents."""
     out = {}
@@ -171,6 +219,11 @@ def main():
     prof = chip_profile()
     bw = prof.hbm_gbps * 1e9
     vpu = prof.vpu_int32_gops * 1e9
+    measured_vpu = measure_u32_mul_ceiling()
+    print(f"[u32 mul+add microkernel] measured VPU integer throughput: "
+          f"{measured_vpu/1e9:.0f} Gops/s "
+          f"(spec-derived estimate: {prof.vpu_int32_gops:.0f})",
+          file=sys.stderr)
     rows = []
     for name, measure, bytes_per, ops_per in kernel_entries():
         rate = measure()
@@ -178,6 +231,7 @@ def main():
         vpu_ceiling = vpu / ops_per
         ceiling = min(hbm_ceiling, vpu_ceiling)
         bound = "HBM" if hbm_ceiling < vpu_ceiling else "VPU"
+        measured_ceiling = min(hbm_ceiling, measured_vpu / ops_per)
         rows.append({
             "kernel": name,
             "rate_per_s": rate,
@@ -187,10 +241,14 @@ def main():
             "vpu_ceiling_per_s": vpu_ceiling,
             "bound": bound,
             "sol_frac": rate / ceiling,
+            "measured_ceiling_per_s": measured_ceiling,
+            "sol_frac_measured": rate / measured_ceiling,
         })
         print(f"[{name}] {rate/1e6:.1f}M/s  "
               f"ceiling {ceiling/1e6:.0f}M/s ({bound}-bound)  "
-              f"SoL {100*rate/ceiling:.1f}%", file=sys.stderr)
+              f"SoL {100*rate/ceiling:.1f}%  "
+              f"(vs measured silicon: {100*rate/measured_ceiling:.1f}%)",
+              file=sys.stderr)
 
     e2e = {} if os.environ.get("BENCH_SOL_SKIP_E2E") else end_to_end()
     fused_fq = next(r["rate_per_s"] for r in rows if r["kernel"] == "fq_mont_mul")
@@ -206,6 +264,7 @@ def main():
         "chip": prof.name,
         "hbm_gbps": prof.hbm_gbps,
         "vpu_int32_gops_estimate": prof.vpu_int32_gops,
+        "vpu_int32_gops_measured": measured_vpu / 1e9,
         "kernels": rows,
         "end_to_end": e2e,
     }
