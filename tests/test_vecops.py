@@ -79,3 +79,24 @@ def test_vector_sum_matches_oracle(rng):
         got = limbs_to_ints(np.asarray(
             ops.from_mont(FR, vecops.vector_sum(FR, v)[:, None])))[0]
         assert got == sum(vals) % FR.modulus
+
+
+def test_adapter_wide_inv_matches_fermat(rng):
+    """FqAdapter.inv routes wide batches through Montgomery's trick
+    (the Fermat ladder at (24, 2^20) crashes the tunneled TPU worker —
+    the e2e K=20 root cause); both paths must agree bit-exactly."""
+    import jax.numpy as jnp
+
+    from tpu_bls12_381 import constants
+    from tpu_bls12_381.curves.field_adapters import FQ_ADAPTER
+    from tpu_bls12_381.fields import FQ, ops
+    from tpu_bls12_381.fields.limbs import ints_to_limbs
+
+    n = 4096  # exactly at the batch-inversion threshold
+    vals = [rng.randrange(constants.FQ_MODULUS) for _ in range(24)]
+    arr = jnp.asarray(ints_to_limbs([FQ.to_mont(v) for v in vals],
+                                    FQ.num_limbs))
+    wide = jnp.tile(arr, (1, n // 24 + 1))[:, :n]
+    got = FQ_ADAPTER.inv(wide)
+    want = ops.inv_mont(FQ, wide[:, :24])
+    np.testing.assert_array_equal(np.asarray(got[:, :24]), np.asarray(want))

@@ -14,6 +14,7 @@ Adapters are stateless singletons so they can be static jit arguments.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..fields import FQ, fast, ops
@@ -55,6 +56,27 @@ class FqAdapter:
         return ops.add(self.spec, a, a)
 
     def inv(self, a):
+        """Inverse; wide batches via Montgomery's trick (ONE real inversion).
+
+        The Fermat ladder (`ops.inv_mont`) is a 381-iteration
+        square-and-multiply — correct at any width, but at (24, 2^20)
+        lanes the resulting jnp-CIOS XLA program crashes the tunneled
+        TPU worker (the round-3/4 e2e K=20 "kernel fault": base
+        expansion's proj_to_affine was the first caller to reach that
+        width).  Montgomery's trick replaces n inversions with prefix
+        products + one (24, 1) inversion — strictly less work and only
+        narrow-width programs (vec_ops.cu:155-333 analog,
+        vecops.batch_inverse).  Small batches (including traced scalars
+        inside jitted formulas) keep the constant-time ladder."""
+        batch = a.shape[1:]
+        n = 1
+        for d in batch:
+            n *= int(d)
+        if n >= 4096 and not isinstance(a, jax.core.Tracer):
+            from .. import vecops
+
+            flat = a.reshape(self.spec.num_limbs, -1)
+            return vecops.batch_inverse(self.spec, flat).reshape(a.shape)
         return ops.inv_mont(self.spec, a)
 
     # -- predicates / selection ---------------------------------------------
