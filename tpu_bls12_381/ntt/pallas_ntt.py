@@ -262,12 +262,25 @@ def release_fourstep_cache() -> None:
 
 def fourstep_supported(x) -> bool:
     """Four-step path handles (K, n) arrays with n a power of four-ish
-    (both factors >= 2 lanes) on the Pallas backends."""
+    (both factors >= 2 lanes) on the Pallas backends.
+
+    Both tile passes must satisfy Mosaic's sublane granularity: the
+    per-grid-step row block BB = tile_elems/m needs to be a multiple of
+    8 (the K=22 e2e hit this at the 2^23 domain, whose 4096-wide pass
+    left BB=4).  Larger factors would blow the VMEM budget at BB=8, so
+    domains whose split exceeds tile_elems/8 per factor take the
+    radix-2 ladder instead — the reference's Radix2 default handles its
+    big domains the same way (core/config.rs:168-212)."""
     if x.ndim < 2:
         return False
     n = x.shape[-1]
     log_n = n.bit_length() - 1
-    return (1 << log_n) == n and log_n >= 10
+    if (1 << log_n) != n or log_n < 10:
+        return False
+    la = log_n // 2
+    nA, nB = 1 << la, n >> la
+    cap = _tile_elems() // 8
+    return nA <= cap and nB <= cap
 
 
 def ntt_fourstep(x, inverse: bool = False, domain: Domain | None = None):
