@@ -26,7 +26,18 @@ import jax.numpy as jnp
 # the override must go through jax.config after import).
 if os.environ.get("BENCH_FORCE_CPU") == "1":
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_bls12_381_jax_cache")
+    # XLA:CPU AOT executables embed host machine features; reusing a
+    # cache written on a different host spams loader errors and risks
+    # SIGILL (seen in round-3's scaling step, rc=124).  Keep the CPU
+    # leg's cache separate and per-machine.
+    import platform as _plat
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        f"/tmp/tpu_bls12_381_jax_cache_cpu_{_plat.node() or 'host'}")
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/tpu_bls12_381_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from tpu_bls12_381.fields import FR

@@ -48,18 +48,26 @@ EOF
   } >> "$SUMMARY"
 fi
 
+# Per-file timeout: one slow file (test_projective: 652 s on-chip in
+# round 3) must not starve the rest of the suite of its whole budget.
+FILE_TMO=${SUITE_FILE_TMO:-1200}
+
 fail=0
 for f in "${FILES[@]}"; do
   for attempt in $(seq 0 "$MAX_RETRY"); do
     if [ -n "$SUMMARY" ]; then
-      python -m pytest "$f" -q -p no:cacheprovider "$@" 2>&1 | tee /tmp/suite_last.log
+      timeout "$FILE_TMO" python -m pytest "$f" -q -p no:cacheprovider "$@" 2>&1 | tee /tmp/suite_last.log
       rc=${PIPESTATUS[0]}
     else
-      python -m pytest "$f" -q -p no:cacheprovider "$@"
+      timeout "$FILE_TMO" python -m pytest "$f" -q -p no:cacheprovider "$@"
       rc=$?
     fi
     if [ "$rc" -eq 0 ]; then
       [ -n "$SUMMARY" ] && echo "$f: $(tail -1 /tmp/suite_last.log)" >> "$SUMMARY"
+      break
+    elif [ "$rc" -eq 124 ]; then
+      [ -n "$SUMMARY" ] && echo "$f: TIMEOUT (${FILE_TMO}s)" >> "$SUMMARY"
+      fail=1
       break
     elif [ "$rc" -ge 128 ] && [ "$attempt" -lt "$MAX_RETRY" ]; then
       echo "== $f died with signal (rc=$rc); retry $((attempt + 1))/$MAX_RETRY =="

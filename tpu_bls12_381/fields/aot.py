@@ -59,24 +59,49 @@ def _enabled() -> bool:
 
 
 def _cache_dir() -> str:
-    return os.environ.get("MIDNIGHT_AOT_CACHE_DIR",
-                          "/tmp/tpu_bls12_381_aot_cache")
+    env = os.environ.get("MIDNIGHT_AOT_CACHE_DIR")
+    if env:
+        return env
+    # Per-user, not the world-shared /tmp: cache entries are executed
+    # code (deserialized StableHLO modules), so a predictable shared
+    # path would let another local user plant modules.
+    home = os.path.expanduser("~")
+    if home and home != "~":
+        return os.path.join(home, ".cache", "tpu_bls12_381_aot")
+    return f"/tmp/tpu_bls12_381_aot_cache_{os.getuid()}"
+
+
+def _makedirs_private(path: str) -> None:
+    os.makedirs(path, mode=0o700, exist_ok=True)
 
 
 def _source_hash() -> str:
-    """Hash of the kernel-defining sources + jax version: a kernel edit
-    or toolchain bump must invalidate every cached module."""
+    """Hash of EVERY package source + jax version.
+
+    Exported stage graphs (msm/pippenger.py stages, ntt stages) inline
+    logic from arbitrary package modules — points.py, ops.py, tuning,
+    field_adapters — so hashing only the Pallas kernel files left a
+    stale-cache hole: edit a stage body and a warm cache silently
+    replayed the old code.  Hashing the whole package is ~100 kB once
+    per process and makes any source edit invalidate every key."""
     global _SRC_HASH
     if _SRC_HASH is None:
         h = hashlib.sha256(jax.__version__.encode())
         base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        for rel in ("fields/pallas_ops.py", "curves/pallas_g1.py",
-                    "curves/pallas_g2.py", "curves/projective.py"):
-            try:
-                with open(os.path.join(base, rel), "rb") as f:
-                    h.update(f.read())
-            except OSError:
-                pass
+        for dirpath, dirnames, filenames in sorted(os.walk(base)):
+            dirnames.sort()
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if not fn.endswith(".py"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, fn), base)
+                try:
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        h.update(rel.encode())
+                        h.update(f.read())
+                except OSError:
+                    pass
         _SRC_HASH = h.hexdigest()[:16]
     return _SRC_HASH
 
@@ -151,7 +176,7 @@ def _build(tag, key, jit_fn, args):
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args)
         exp = jexport.export(jit_fn)(*shapes)
         try:
-            os.makedirs(_cache_dir(), exist_ok=True)
+            _makedirs_private(_cache_dir())
             tmp = os.path.join(_cache_dir(), f".{key}.{os.getpid()}")
             with open(tmp, "wb") as f:
                 f.write(exp.serialize())

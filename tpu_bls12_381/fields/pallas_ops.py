@@ -339,7 +339,7 @@ _FLAT_RUNS: dict = {}
 
 def _flat_run(spec: FieldSpec, op: str, kernel_builder, n_in: int,
               n_out: int = 1):
-    key = (op, spec.num_limbs)
+    key = (op, spec.num_limbs, spec.modulus)
     fn = _FLAT_RUNS.get(key)
     if fn is not None:
         return fn

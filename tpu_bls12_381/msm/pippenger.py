@@ -882,11 +882,13 @@ def _msm_batch_core(F, scalars_b, A, w: int, factor: int, num_bits: int):
     budget = _available_budget(scalars_b, x, y, inf)
     shared = 4 * W * n_eff
     per_b = 4 * (W + 5 * C) * n_eff
-    if shared + per_b > budget:
+    if shared + per_b > budget and m > 1:
         n_pieces = -(-(shared + per_b) // budget) + 1
         while m % n_pieces and n_pieces < 64:
             n_pieces += 1
         per = -(-m // n_pieces)
+        if per >= m:
+            per = max(1, m // 2)  # always shrink: a no-progress split recurses forever
         parts = []
         for s in range(0, m, per):
             e = min(s + per, m)
