@@ -69,3 +69,29 @@ def test_fourstep_roundtrip():  # pragma: no cover - TPU
     x = _rand_fr(1 << log_n, seed=9)
     back = ntt_fourstep(ntt_fourstep(x, domain=dom), inverse=True, domain=dom)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_fourstep_recursive_matches_ladder(inverse, monkeypatch):  # pragma: no cover - TPU
+    """One-level Bailey recursion (domains past 2^(2*cap_log); the K=22
+    e2e's 2^23 shape) against the ladder, at a shrunken tile cap so the
+    recursive branch runs at a test-sized 2^15."""
+    import dataclasses
+
+    from tpu_bls12_381 import tuning
+    from tpu_bls12_381.ntt.pallas_ntt import (
+        _cap_log, _split_top, ntt_fourstep)
+
+    prof = dataclasses.replace(tuning.chip_profile(), ntt_tile_log_elems=10)
+    monkeypatch.setattr(tuning, "_DETECTED", prof)
+    assert _cap_log() == 7
+    log_n = 15  # > 2*cap_log -> inner factor recurses
+    la, lb = _split_top(log_n)
+    assert lb > _cap_log() * 2 or (1 << lb) > (1 << _cap_log())
+
+    dom = get_domain(log_n)
+    x = _rand_fr(1 << log_n, seed=11)
+    got = ntt_fourstep(x, inverse=inverse, domain=dom)
+    tw = dom.itw if inverse else dom.tw
+    want = _ntt_core(x, log_n, inverse, Ordering.NN, tw, dom.n_inv)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -260,27 +260,48 @@ def release_fourstep_cache() -> None:
 # -----------------------------------------------------------------------------
 
 
-def fourstep_supported(x) -> bool:
-    """Four-step path handles (K, n) arrays with n a power of four-ish
-    (both factors >= 2 lanes) on the Pallas backends.
+def _cap_log() -> int:
+    """log2 of the largest tile-NTT length: the per-grid-step row block
+    BB = tile_elems/m must be a multiple of Mosaic's 8-sublane
+    granularity (the K=22 e2e crash at round 4 hit this: the 2^23
+    domain's 4096-wide pass left BB=4 and Mosaic rejected the block)."""
+    return (_tile_elems() // 8).bit_length() - 1
 
-    Both tile passes must satisfy Mosaic's sublane granularity: the
-    per-grid-step row block BB = tile_elems/m needs to be a multiple of
-    8 (the K=22 e2e hit this at the 2^23 domain, whose 4096-wide pass
-    left BB=4).  Larger factors would blow the VMEM budget at BB=8, so
-    domains whose split exceeds tile_elems/8 per factor take the
-    radix-2 ladder instead — the reference's Radix2 default handles its
-    big domains the same way (core/config.rs:168-212)."""
+
+def _split_top(log_n: int):
+    """(la, lb) split of the top-level Bailey factorization n = nA * nB.
+
+    Balanced while both factors fit a tile (log_n <= 2*cap_log); above
+    that the INNER factor nB takes everything one recursion level can
+    handle (lb <= 2*cap_log) and the outer keeps >= 2^7 lanes so every
+    tile pass stays at or above the 128-lane vreg width."""
+    cap_log = _cap_log()
+    if log_n <= 2 * cap_log:
+        la = log_n // 2
+    else:
+        lb = min(2 * cap_log, log_n - 7)
+        la = log_n - lb
+    return la, log_n - la
+
+
+def fourstep_supported(x) -> bool:
+    """True when :func:`ntt_fourstep` handles arrays of this shape.
+
+    The tile kernel computes NTTs to 2^cap_log lanes in one VMEM pass;
+    one level of recursion (a Bailey split whose inner factor is itself
+    four-stepped) extends that to la + 2*cap_log — on the v5e profile
+    (cap_log=11) domains through 2^33, covering the reference's full
+    2^32 domain range (ntt.cuh:60, bls12_381_params.cuh:136).  Shapes
+    beyond that (or below the 2^10 minimum) take the radix-2 ladder."""
     if x.ndim < 2:
         return False
     n = x.shape[-1]
     log_n = n.bit_length() - 1
     if (1 << log_n) != n or log_n < 10:
         return False
-    la = log_n // 2
-    nA, nB = 1 << la, n >> la
-    cap = _tile_elems() // 8
-    return nA <= cap and nB <= cap
+    cap_log = _cap_log()
+    la, lb = _split_top(log_n)
+    return la <= cap_log and lb <= 2 * cap_log
 
 
 def ntt_fourstep(x, inverse: bool = False, domain: Domain | None = None):
@@ -300,29 +321,46 @@ def ntt_fourstep(x, inverse: bool = False, domain: Domain | None = None):
     B = 1
     for d in lead:
         B *= d
-    la = log_n // 2
-    nA, nB = 1 << la, n >> la
-    log_nA, log_nB = la, log_n - la
+    log_nA, log_nB = _split_top(log_n)
+    nA, nB = 1 << log_nA, 1 << log_nB
+    cap = 1 << _cap_log()
 
     dom_n = domain or get_domain(log_n)
 
     # per batch row: M[a, b] = x[a + nA*b]
     M = x.reshape(K, B, nB, nA).swapaxes(-1, -2)  # (K, B, nA, nB)
 
-    # inner NTT over b (length nB), with W[a, k2] folded in; BB must
-    # divide nA so each grid block sees a single W period slice
-    BB1 = _tile_block(nB, nA)
-    W = _step_w(log_n, nA, nB, inverse)
-    Mr = bit_reverse(M.reshape(K, B * nA, nB), axis=-1)
-    M = _ntt_tile_call(
-        Mr, _stage_tw_for(log_nB, inverse), _consts_for(nB),
-        (nB, BB1), w=W,
-    )
+    if nB <= cap:
+        # inner NTT over b (length nB), with W[a, k2] folded in; BB must
+        # divide nA so each grid block sees a single W period slice
+        BB1 = _tile_block(nB, nA)
+        W = _step_w(log_n, nA, nB, inverse)
+        Mr = bit_reverse(M.reshape(K, B * nA, nB), axis=-1)
+        M = _ntt_tile_call(
+            Mr, _stage_tw_for(log_nB, inverse), _consts_for(nB),
+            (nB, BB1), w=W,
+        )
+        # the inverse 1/n scale is folded once, in the outer pass
+        scale = dom_n.n_inv if inverse else None
+    else:
+        # one recursion level (domains past 2^(2*cap_log), e.g. the K=22
+        # e2e's 2^23): the inner length-nB NTTs are themselves
+        # four-stepped (lead dims (B, nA) batch them), and the
+        # inter-step twiddle W — folded into the tile kernel in the flat
+        # case — becomes one standalone elementwise multiply.  The
+        # recursive inverse call already scales by 1/nB, so the outer
+        # pass folds only the remaining 1/nA.
+        from ..fields import fast
 
-    # outer NTT over a (length nA), 1/n scale folded for the inverse
+        Y = ntt_fourstep(M, inverse=inverse)   # (K, B, nA, nB)
+        W = _step_w(log_n, nA, nB, inverse)    # (K, nA, nB)
+        M = fast.mont_mul(FR, Y, jnp.broadcast_to(W[:, None], Y.shape))
+        M = M.reshape(K, B * nA, nB)
+        scale = get_domain(log_nA).n_inv if inverse else None
+
+    # outer NTT over a (length nA); nA <= cap by _split_top construction
     M2 = M.reshape(K, B, nA, nB).swapaxes(-1, -2)  # (K, B, nB, nA)
     M2r = bit_reverse(M2.reshape(K, B * nB, nA), axis=-1)
-    scale = dom_n.n_inv if inverse else None
     M2 = _ntt_tile_call(
         M2r, _stage_tw_for(log_nA, inverse), _consts_for(nA),
         (nA, _tile_block(nA, nB)), scale=scale,
