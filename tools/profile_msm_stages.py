@@ -90,10 +90,16 @@ def main():
     w_rows, w_cols, total = pp._stage_triangle_scans(F, buckets, nb)
     bench("tri_combine", lambda: pp._stage_triangle_combine(
         F, w_rows, w_cols, total, lb_bits))
+    # the production pipeline issues TWO fused programs per window —
+    # time those too (the fine-grained numbers above carry per-dispatch
+    # overhead that the fused path amortizes)
+    bench("sort_scan", lambda: pp._stage_sort_scan(F, k0, R, L, em_rows,
+                                                   inf))
+    ks2, ct2, pr2 = pp._stage_sort_scan(F, k0, R, L, em_rows, inf)
+    bench("window_tail", lambda: pp._stage_window_tail(
+        F, ks2, ct2, nb, lb_bits, pr2))
 
-    per_window = sum(t[k] for k in
-                     ("sort_tile", "scan", "stitch", "boundary",
-                      "triangle", "tri_combine"))
+    per_window = sum(t[k] for k in ("sort_scan", "window_tail"))
     fixed = t["decompose"] + t["pack_rows"]
     est = fixed + T * per_window
     print(f"# per-window {per_window*1e3:.2f} ms x {T} + fixed "

@@ -488,6 +488,51 @@ def _stage_horner(F, Ws, w: int):
     return out
 
 
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _stage_sort_scan(F, key2, R: int, L: int, em_rows, inf):
+    """Fused sort+gather+scan: one dispatch for the per-window linear
+    work.  The tunneled platform charges a fixed per-dispatch latency
+    (measured ~5-15 ms); at T=9-18 windows x 6 stage calls that
+    overhead rivaled the arithmetic, so the window body is issued as
+    TWO programs (this + :func:`_stage_window_tail`) instead of six."""
+    key_sorted, x_rows, y_rows, sign_rows, inf_rows = _stage_sort_tile(
+        F, key2, R, L, em_rows, inf)
+    col_total, prefix_rows = _stage_scan(
+        F, x_rows, y_rows, sign_rows, inf_rows)
+    return key_sorted, col_total, prefix_rows
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _stage_window_tail(F, key_sorted, col_total, nb: int, lb_bits: int,
+                       prefix_rows):
+    """Fused stitch+boundary+triangle+combine (the window's bucket math
+    after the scan) — the second of the two per-window programs."""
+    col_carry = _stage_stitch(F, col_total)
+    buckets = _boundary_core(F, key_sorted, col_carry, nb, prefix_rows)
+    w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
+    return _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _stage_sort_scan_batch(F, keys, R: int, L: int, em_rows, inf):
+    """Batched :func:`_stage_sort_scan` (keys (B, n), shared table)."""
+    key_sorted, x_rows, y_rows, sign_rows, inf_rows = \
+        _stage_sort_tile_batch(F, keys, R, L, em_rows, inf)
+    col_total, prefix_rows = _stage_scan(
+        F, x_rows, y_rows, sign_rows, inf_rows)
+    return key_sorted, col_total, prefix_rows
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _stage_window_tail_batch(F, key_sorted, col_total, nb: int,
+                             lb_bits: int, prefix_rows):
+    col_carry = _stage_stitch(F, col_total)
+    buckets = _stage_boundary_batch(F, key_sorted, col_carry, nb,
+                                    prefix_rows)
+    w_rows, w_cols, total = _stage_triangle_scans(F, buckets, nb)
+    return _stage_triangle_combine(F, w_rows, w_cols, total, lb_bits)
+
+
 @partial(jax.jit, static_argnums=0)
 def _stage_neg_y(F, y):
     return F.neg(y)
@@ -519,47 +564,10 @@ def _aot_stage(tag: str, statics: tuple, builder, args):
     return aot.dispatch(key, builder, args, lazy=True)
 
 
-def _r_sort_tile(F, key2, R, L, em_rows, inf):
-    return _aot_stage(
-        "sort_tile", (_fname(F), R, L),
-        lambda: jax.jit(lambda k, e, i: _stage_sort_tile(F, k, R, L, e, i)),
-        (key2, em_rows, inf))
 
 
-def _r_scan(F, x_rows, y_rows, sign_rows, inf_rows):
-    return _aot_stage(
-        "scan", (_fname(F),),
-        lambda: jax.jit(lambda a, b, c, d: _stage_scan(F, a, b, c, d)),
-        (x_rows, y_rows, sign_rows, inf_rows))
 
 
-def _r_stitch(F, col_total):
-    return _aot_stage(
-        "stitch", (_fname(F),),
-        lambda: jax.jit(lambda c: _stage_stitch(F, c)), (col_total,))
-
-
-def _r_boundary(F, key_sorted, col_carry, nb, prefix_rows):
-    return _aot_stage(
-        "boundary", (_fname(F), nb),
-        lambda: jax.jit(
-            lambda k, c, p: _stage_boundary(F, k, c, nb, p)),
-        (key_sorted, col_carry, prefix_rows))
-
-
-def _r_triangle(F, buckets, nb):
-    return _aot_stage(
-        "triangle", (_fname(F), nb),
-        lambda: jax.jit(lambda b: _stage_triangle_scans(F, b, nb)),
-        (buckets,))
-
-
-def _r_combine(F, w_rows, w_cols, total, lb_bits):
-    return _aot_stage(
-        "combine", (_fname(F), lb_bits),
-        lambda: jax.jit(
-            lambda a, b, c: _stage_triangle_combine(F, a, b, c, lb_bits)),
-        (w_rows, w_cols, total))
 
 
 def _r_horner_to_jac(F, Ws, w):
@@ -569,20 +577,39 @@ def _r_horner_to_jac(F, Ws, w):
             lambda x: _stage_to_jac(F, _stage_horner(F, x, w))), (Ws,))
 
 
-def _r_sort_tile_batch(F, keys, R, L, em_rows, inf):
+def _r_sort_scan(F, key2, R, L, em_rows, inf):
     return _aot_stage(
-        "sort_tile_batch", (_fname(F), R, L),
+        "sort_scan", (_fname(F), R, L),
+        lambda: jax.jit(lambda k, e, i: _stage_sort_scan(F, k, R, L, e, i)),
+        (key2, em_rows, inf))
+
+
+def _r_window_tail(F, key_sorted, col_total, nb, lb_bits, prefix_rows):
+    return _aot_stage(
+        "window_tail", (_fname(F), nb, lb_bits),
         lambda: jax.jit(
-            lambda k, e, i: _stage_sort_tile_batch(F, k, R, L, e, i)),
+            lambda k, c, p: _stage_window_tail(F, k, c, nb, lb_bits, p)),
+        (key_sorted, col_total, prefix_rows))
+
+
+def _r_sort_scan_batch(F, keys, R, L, em_rows, inf):
+    return _aot_stage(
+        "sort_scan_batch", (_fname(F), R, L),
+        lambda: jax.jit(
+            lambda k, e, i: _stage_sort_scan_batch(F, k, R, L, e, i)),
         (keys, em_rows, inf))
 
 
-def _r_boundary_batch(F, key_sorted, col_carry, nb, prefix_rows):
+def _r_window_tail_batch(F, key_sorted, col_total, nb, lb_bits,
+                         prefix_rows):
     return _aot_stage(
-        "boundary_batch", (_fname(F), nb),
+        "window_tail_batch", (_fname(F), nb, lb_bits),
         lambda: jax.jit(
-            lambda k, c, p: _stage_boundary_batch(F, k, c, nb, p)),
-        (key_sorted, col_carry, prefix_rows))
+            lambda k, c, p: _stage_window_tail_batch(
+                F, k, c, nb, lb_bits, p)),
+        (key_sorted, col_total, prefix_rows))
+
+
 
 
 def glv_split_scalars(scalars_std):
@@ -767,17 +794,10 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
 
     window_sums = []
     for t in range(T):
-        key_sorted, x_rows, y_rows, sign_rows, inf_rows = _r_sort_tile(
-            F, keys[t], R, L, em_rows, inf
-        )
-        col_total, prefix_rows = _r_scan(
-            F, x_rows, y_rows, sign_rows, inf_rows)
-        col_carry = _r_stitch(F, col_total)
-        buckets = _r_boundary(F, key_sorted, col_carry, nb, prefix_rows)
-        w_rows, w_cols, total = _r_triangle(F, buckets, nb)
-        window_sums.append(
-            _r_combine(F, w_rows, w_cols, total, lb_bits)
-        )
+        key_sorted, col_total, prefix_rows = _r_sort_scan(
+            F, keys[t], R, L, em_rows, inf)
+        window_sums.append(_r_window_tail(
+            F, key_sorted, col_total, nb, lb_bits, prefix_rows))
     Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
     return _r_horner_to_jac(F, Ws, w)
 
@@ -932,17 +952,10 @@ def _msm_batch_core(F, scalars_b, A, w: int, factor: int, num_bits: int):
 
     window_sums = []
     for t in range(keys.shape[0]):
-        key_sorted, x_rows, y_rows, sign_rows, inf_rows = \
-            _r_sort_tile_batch(F, keys[t], R, L, em_rows, inf)
-        col_total, prefix_rows = _r_scan(
-            F, x_rows, y_rows, sign_rows, inf_rows)
-        col_carry = _r_stitch(F, col_total)
-        buckets = _r_boundary_batch(
-            F, key_sorted, col_carry, nb, prefix_rows)
-        w_rows, w_cols, total = _r_triangle(F, buckets, nb)
-        window_sums.append(
-            _r_combine(F, w_rows, w_cols, total, lb_bits)
-        )
+        key_sorted, col_total, prefix_rows = _r_sort_scan_batch(
+            F, keys[t], R, L, em_rows, inf)
+        window_sums.append(_r_window_tail_batch(
+            F, key_sorted, col_total, nb, lb_bits, prefix_rows))
     Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
     return _r_horner_to_jac(F, Ws, w)
 
@@ -1269,16 +1282,9 @@ def _msm_precomputed_core(F, scalars_std, A_expanded, w: int, factor: int,
 
     window_sums = []
     for t in range(keys.shape[0]):
-        key_sorted, x_rows, y_rows, sign_rows, inf_rows = _r_sort_tile(
-            F, keys[t], R, L, em_rows, inf
-        )
-        col_total, prefix_rows = _r_scan(
-            F, x_rows, y_rows, sign_rows, inf_rows)
-        col_carry = _r_stitch(F, col_total)
-        buckets = _r_boundary(F, key_sorted, col_carry, nb, prefix_rows)
-        w_rows, w_cols, total = _r_triangle(F, buckets, nb)
-        window_sums.append(
-            _r_combine(F, w_rows, w_cols, total, lb_bits)
-        )
+        key_sorted, col_total, prefix_rows = _r_sort_scan(
+            F, keys[t], R, L, em_rows, inf)
+        window_sums.append(_r_window_tail(
+            F, key_sorted, col_total, nb, lb_bits, prefix_rows))
     Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
     return _r_horner_to_jac(F, Ws, w)

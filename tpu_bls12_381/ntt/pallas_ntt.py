@@ -304,14 +304,49 @@ def fourstep_supported(x) -> bool:
     return la <= cap_log and lb <= 2 * cap_log
 
 
+def _fourstep_flat_builder(log_nA: int, log_nB: int, fold_scale: bool):
+    """One jitted program for the whole flat four-step.
+
+    The un-jitted orchestration issued ~8 separate device programs per
+    NTT (transposes, bit-reverse gathers, two tile calls); the tunneled
+    platform charges a fixed per-dispatch latency, so fusing the bracket
+    into a single program removes most of the non-kernel wall time.
+    Twiddle/const tables are explicit arguments (not closed-over device
+    constants), keeping the jaxpr small and the AOT export cacheable.
+    """
+    nA, nB = 1 << log_nA, 1 << log_nB
+
+    def run(x, stw_b, W, stw_a, ncol_b, ncol_a, n0c, scale):
+        B = x.shape[1]
+        n = nA * nB
+        M = x.reshape(K, B, nB, nA).swapaxes(-1, -2)  # (K, B, nA, nB)
+        BB1 = _tile_block(nB, nA)
+        Mr = bit_reverse(M.reshape(K, B * nA, nB), axis=-1)
+        M = _ntt_tile_call(Mr, stw_b, (ncol_b, n0c), (nB, BB1), w=W)
+        M2 = M.reshape(K, B, nA, nB).swapaxes(-1, -2)
+        M2r = bit_reverse(M2.reshape(K, B * nB, nA), axis=-1)
+        M2 = _ntt_tile_call(
+            M2r, stw_a, (ncol_a, n0c), (nA, _tile_block(nA, nB)),
+            scale=scale if fold_scale else None,
+        )
+        out = M2.reshape(K, B, nB, nA).swapaxes(-1, -2)
+        return out.reshape(K, B, n)
+
+    return jax.jit(run)
+
+
 def ntt_fourstep(x, inverse: bool = False, domain: Domain | None = None):
     """(K, ..., n) Montgomery Fr -> NTT along the last axis, natural in/out.
 
     Factors n = nA * nB and runs two fused tile-NTT passes with the
     inter-step twiddle multiply folded into the first and the 1/n scale
-    (inverse) folded into the second.  Leading axes are batched: rows are
+    (inverse) folded into the second, the whole bracket issued as ONE
+    jitted (and AOT-cached) program.  Leading axes are batched: rows are
     laid out (batch * nA) and the W table is re-served periodically by
     the tile call (ntt_kernels.cu:968-1133's batched dispatch analog).
+    Domains past 2^(2*cap_log) recurse once: the inner factor is itself
+    four-stepped and the inter-step twiddle becomes one standalone
+    elementwise multiply (see fourstep_supported).
     """
     n = x.shape[-1]
     log_n = n.bit_length() - 1
@@ -326,37 +361,39 @@ def ntt_fourstep(x, inverse: bool = False, domain: Domain | None = None):
     cap = 1 << _cap_log()
 
     dom_n = domain or get_domain(log_n)
-
-    # per batch row: M[a, b] = x[a + nA*b]
-    M = x.reshape(K, B, nB, nA).swapaxes(-1, -2)  # (K, B, nA, nB)
+    xf = x.reshape(K, B, n)
 
     if nB <= cap:
-        # inner NTT over b (length nB), with W[a, k2] folded in; BB must
-        # divide nA so each grid block sees a single W period slice
-        BB1 = _tile_block(nB, nA)
-        W = _step_w(log_n, nA, nB, inverse)
-        Mr = bit_reverse(M.reshape(K, B * nA, nB), axis=-1)
-        M = _ntt_tile_call(
-            Mr, _stage_tw_for(log_nB, inverse), _consts_for(nB),
-            (nB, BB1), w=W,
-        )
-        # the inverse 1/n scale is folded once, in the outer pass
-        scale = dom_n.n_inv if inverse else None
-    else:
-        # one recursion level (domains past 2^(2*cap_log), e.g. the K=22
-        # e2e's 2^23): the inner length-nB NTTs are themselves
-        # four-stepped (lead dims (B, nA) batch them), and the
-        # inter-step twiddle W — folded into the tile kernel in the flat
-        # case — becomes one standalone elementwise multiply.  The
-        # recursive inverse call already scales by 1/nB, so the outer
-        # pass folds only the remaining 1/nA.
-        from ..fields import fast
+        from ..fields import aot
 
-        Y = ntt_fourstep(M, inverse=inverse)   # (K, B, nA, nB)
-        W = _step_w(log_n, nA, nB, inverse)    # (K, nA, nB)
-        M = fast.mont_mul(FR, Y, jnp.broadcast_to(W[:, None], Y.shape))
-        M = M.reshape(K, B * nA, nB)
-        scale = get_domain(log_nA).n_inv if inverse else None
+        W = _step_w(log_n, nA, nB, inverse)
+        ncol_b, n0c = _consts_for(nB)
+        ncol_a, _ = _consts_for(nA)
+        scale = dom_n.n_inv if inverse else jnp.zeros((K,), jnp.uint32)
+        tag = (f"ntt4|{log_nA}|{log_nB}|{int(inverse)}|{B}")
+        out = aot.dispatch(
+            tag,
+            lambda: _fourstep_flat_builder(log_nA, log_nB, inverse),
+            (xf, _stage_tw_for(log_nB, inverse), W,
+             _stage_tw_for(log_nA, inverse), ncol_b, ncol_a, n0c, scale),
+            lazy=True)
+        return out.reshape((K,) + lead + (n,))
+
+    # one recursion level (domains past 2^(2*cap_log), e.g. the K=22
+    # e2e's 2^23): the inner length-nB NTTs are themselves four-stepped
+    # (lead dims (B, nA) batch them), and the inter-step twiddle W —
+    # folded into the tile kernel in the flat case — becomes one
+    # standalone elementwise multiply.  The recursive inverse call
+    # already scales by 1/nB, so the outer pass folds only the
+    # remaining 1/nA.
+    from ..fields import fast
+
+    M = xf.reshape(K, B, nB, nA).swapaxes(-1, -2)  # (K, B, nA, nB)
+    Y = ntt_fourstep(M, inverse=inverse)           # (K, B, nA, nB)
+    W = _step_w(log_n, nA, nB, inverse)            # (K, nA, nB)
+    M = fast.mont_mul(FR, Y, jnp.broadcast_to(W[:, None], Y.shape))
+    M = M.reshape(K, B * nA, nB)
+    scale = get_domain(log_nA).n_inv if inverse else None
 
     # outer NTT over a (length nA); nA <= cap by _split_top construction
     M2 = M.reshape(K, B, nA, nB).swapaxes(-1, -2)  # (K, B, nB, nA)

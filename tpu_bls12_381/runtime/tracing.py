@@ -45,8 +45,12 @@ def fence(out):
     import jax
 
     leaf = jax.tree_util.tree_leaves(out)[0]
-    idx = (Ellipsis,) + (slice(0, 1),) * max(leaf.ndim - 1, 0)
-    np.asarray(leaf[idx])
+    # slice EVERY axis: a (1,)*ndim corner is enough to force completion
+    # (in-order execution), and keeps the D2H copy a few bytes — the
+    # tunneled link moves ~30 MB/s, so fencing a full 1-D leaf (the old
+    # ndim-1 slicing) silently added ~200 ms per fence on 2^20 arrays
+    # and poisoned every isolated-stage profile.
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
     return out
 
 
