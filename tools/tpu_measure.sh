@@ -28,6 +28,9 @@ for s in "${STEPS[@]}"; do
     msm20) BENCH_LOG_N=20 run msm20 1800 python bench.py ;;
     msm22) BENCH_LOG_N=22 run msm22 2400 python bench.py ;;
     ntt22) BENCH_METRIC=ntt BENCH_LOG_N=22 run ntt22 1200 python bench.py ;;
+    ntt23) BENCH_METRIC=ntt BENCH_LOG_N=23 run ntt23 1800 python bench.py ;;
+    msm22_glv1) MIDNIGHT_MSM_GLV=1 MIDNIGHT_MSM_HBM_BUDGET_MB=14000 BENCH_LOG_N=22 \
+           run msm22_glv1 2400 python bench.py ;;
     g2_16) BENCH_METRIC=g2 BENCH_LOG_N=16 run g2_16 1800 python bench.py ;;
     g2_18) BENCH_METRIC=g2 BENCH_LOG_N=18 run g2_18 2400 python bench.py ;;
     batch) BENCH_METRIC=batch BENCH_LOG_N=16 BENCH_BATCH=8 run batch 2400 python bench.py ;;
