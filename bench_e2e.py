@@ -150,14 +150,25 @@ def main():
                 json.dump(results, f, indent=1)
             continue
         row = {"accel": acc}
+        results[str(K)] = row
+        with open(out_path, "w") as f:  # write the accel row FIRST: a
+            json.dump(results, f, indent=1)  # dead CPU leg must not lose it
         if not skip_cpu:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cpu-leg", str(K)],
-                capture_output=True, text=True, timeout=3600,
-                env=dict(os.environ, JAX_PLATFORMS="cpu"))
-            if out.returncode == 0:
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--cpu-leg", str(K)],
+                    capture_output=True, text=True,
+                    timeout=int(os.environ.get("BENCH_E2E_CPU_TMO", "7200")),
+                    env=dict(os.environ, JAX_PLATFORMS="cpu",
+                             BENCH_E2E_REPS="1"))
+            except subprocess.TimeoutExpired:
+                print(f"# cpu leg TIMED OUT for K={K}; accel row kept",
+                      file=sys.stderr)
+                out = None
+            if out is not None and out.returncode == 0:
                 row["cpu"] = json.loads(out.stdout.strip().splitlines()[-1])
-            else:
+            elif out is not None:
                 print(f"# cpu leg failed for K={K}:\n{out.stderr[-2000:]}",
                       file=sys.stderr)
         results[str(K)] = row
