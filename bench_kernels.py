@@ -152,20 +152,38 @@ def measure_u32_mul_ceiling() -> float:
     the same op mix that dominates the limb kernels — and reports
     achieved integer ops/s, giving an *empirical* roofline denominator
     for the Montgomery-multiply SoL rows (the round-3 "25.6% of SoL"
-    number was 25.6% of a paper ceiling, not of silicon)."""
+    number was 25.6% of a paper ceiling, not of silicon).
+
+    Interpretation (round-5 measurements): this dependent-chain kernel
+    sustains ~322 Gops/s on v5e — ~10% of the bf16-derived paper number
+    (32-bit integer multiply is evidently cracked into several narrower
+    ops) — while the real limb kernels sustain 270-730% OF this chain
+    rate (more ILP; 16-bit operands).  So the paper ceiling OVER-states
+    and this chain measurement UNDER-states the true silicon limit; the
+    honest read is that the fused kernels sit between the two, i.e.
+    most of the nominal SoL "headroom" in the paper rows is paper."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from tpu_bls12_381.fields.pallas_ops import lane_block, _interpret
 
-    DEPTH = 256  # multiply+add pairs per element per kernel pass
-    ROWS = 8
+    DEPTH = 256   # multiply+add pairs per element per loop trip
+    REPEAT = 32   # fori_loop trips: work must dwarf the ~10-25 ms
+    ROWS = 8      # per-dispatch floor or the measurement is latency-bound
+                  # (the round-4 version measured 45 Gops/s for exactly
+                  # that reason — ~1 G ops of work under a ~20 ms floor)
 
     def kernel(a_ref, b_ref, o_ref):
-        a = [a_ref[i, :] for i in range(ROWS)]
-        b = [b_ref[i, :] for i in range(ROWS)]
-        for _ in range(DEPTH // 2):
-            a = [x * y + x for x, y in zip(a, b)]
-            b = [y * x + y for x, y in zip(a, b)]
+        a0 = [a_ref[i, :] for i in range(ROWS)]
+        b0 = [b_ref[i, :] for i in range(ROWS)]
+
+        def trip(_, ab):
+            a, b = list(ab[0]), list(ab[1])
+            for _ in range(DEPTH // 2):
+                a = [x * y + x for x, y in zip(a, b)]
+                b = [y * x + y for x, y in zip(a, b)]
+            return tuple(a), tuple(b)
+
+        a, _ = jax.lax.fori_loop(0, REPEAT, trip, (tuple(a0), tuple(b0)))
         for i in range(ROWS):
             o_ref[i, :] = a[i]
 
@@ -187,7 +205,7 @@ def measure_u32_mul_ceiling() -> float:
     )(x, y))
     best = _time(run, a, b)
     # DEPTH mul+add pairs per lane value = 2*DEPTH int ops
-    return ROWS * n * 2 * DEPTH / best
+    return ROWS * n * 2 * DEPTH * REPEAT / best
 
 
 def end_to_end():
