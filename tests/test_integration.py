@@ -114,9 +114,9 @@ def test_prover_round_under_memory_pressure(rng, monkeypatch):
     monkeypatch.setattr(pippenger, "_hbm_budget_bytes", lambda: nominal)
 
     calls = []
-    core = pippenger._msm_precomputed_core
+    core = pippenger._precomputed_window_sums
     monkeypatch.setattr(
-        pippenger, "_msm_precomputed_core",
+        pippenger, "_precomputed_window_sums",
         lambda *a, **k: (calls.append(a[3]), core(*a, **k))[1])
 
     got = ctx.msm_with_bases(_fr(poly), bases)

@@ -610,6 +610,24 @@ def _r_window_tail_batch(F, key_sorted, col_total, nb, lb_bits,
         (key_sorted, col_total, prefix_rows))
 
 
+def _r_ws_add(F, Wa, Wb):
+    """Group-add two stacked window-sum trees (projective, leaves (T, K)).
+
+    Used by the sequential point-chunk paths to fold each chunk's
+    per-window bucket sums into a running total — sums over points
+    distribute per window — so the w*T-doubling Horner ladder runs once
+    per MSM instead of once per chunk.  The T axis is moved behind the
+    limb axis for the add (the library's trailing-batch convention),
+    then restored so the combined tree keeps the Horner stage's layout."""
+    def build():
+        def f(a, b):
+            sw = lambda P: tree_map(lambda c: c.swapaxes(0, 1), P)
+            return sw(g_add(F, sw(a), sw(b)))
+        return jax.jit(f)
+
+    return _aot_stage("ws_add", (_fname(F),), build, (Wa, Wb))
+
+
 
 
 def glv_split_scalars(scalars_std):
@@ -758,37 +776,53 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
     n_pieces = _split_points(n_budget, budget, _msm_bytes_per_point(F))
     if n_pieces > 1:
         # Sequential point-chunks; equal sizes so the staged jits compile
-        # once and every later piece reuses them.  Partials combine by the
-        # group law (sum over points distributes over any partition).
-        # Prefer a piece count dividing n exactly — for power-of-two sizes
-        # this lands on power-of-two pieces whose stage shapes are already
-        # compiled (2^24 -> 4 x 2^22).
+        # once and every later piece reuses them.  Prefer a piece count
+        # dividing n exactly — for power-of-two sizes this lands on
+        # power-of-two pieces whose stage shapes are already compiled
+        # (2^24 -> 4 x 2^22).  Equal chunks share one window geometry
+        # (same w, T), so each chunk's PER-WINDOW bucket sums fold into a
+        # running total (sums over points distribute per window) and the
+        # w*T-doubling Horner ladder + Jacobian conversion run ONCE per
+        # MSM — the round-5 msm24 decomposition measured ~0.65 s/chunk of
+        # exactly this per-chunk fixed cost.
         while n % n_pieces and n_pieces < 64:
             n_pieces += 1
         per = -(-n // n_pieces)
-        parts = []
+        w = window_bits or window_bits_for(per * (2 if glv else 1), F)
+        Ws_acc = None
         for s in range(0, n, per):
             e = min(s + per, n)
             Ai = (tree_map(lambda c: c[..., s:e], x),
                   tree_map(lambda c: c[..., s:e], y), inf[..., s:e])
-            parts.append(msm(F, scalars[..., s:e], Ai,
-                             window_bits=window_bits,
-                             scalars_montgomery=False, glv=glv))
-        stacked = tree_map(lambda *cs: jnp.stack(cs, axis=-1), *parts)
-        return pt.sum_reduce(F, stacked)
+            Wi = _msm_window_sums(F, scalars[..., s:e], Ai, w, glv)
+            Ws_acc = Wi if Ws_acc is None else _r_ws_add(F, Ws_acc, Wi)
+        return _r_horner_to_jac(F, Ws_acc, w)
+    w = window_bits or window_bits_for(n_budget, F)
+    Ws = _msm_window_sums(F, scalars, (x, y, inf), w, glv)
+    return _r_horner_to_jac(F, Ws, w)
+
+
+def _msm_window_sums(F, scalars_std, A, w: int, glv: bool):
+    """Per-window signed-bucket sums for one point set: the full staged
+    pipeline short of the Horner ladder (projective window sums stacked
+    over the T windows, leaves (T, K)).
+
+    Split out of :func:`msm` so the sequential point-chunk path can
+    group-add window sums across chunks (:func:`_r_ws_add`) and pay the
+    ladder once."""
+    x, y, inf = A
     num_bits = FR_BITS
-    if glv and F is FQ_ADAPTER:
-        scalars, num_bits = glv_split_scalars(scalars)
+    if glv:
+        scalars_std, num_bits = glv_split_scalars(scalars_std)
         x, y, inf = glv_extend_bases(F, (x, y, inf))
-        n = 2 * n
-    w = window_bits or window_bits_for(n, F)
+    n = inf.shape[-1]
     nb = 1 << (w - 1)
     # lane width: ~sqrt(n), power of two, within [8, 2048]
     L = lane_tile_for(n, F)
     R = -(-n // L)
     lb_bits = triangle_lb(nb).bit_length() - 1
 
-    keys = decompose_window_keys(scalars, w, num_bits)  # (T, N)
+    keys = decompose_window_keys(scalars_std, w, num_bits)  # (T, N)
     T = int(keys.shape[0])
     em_rows = _stage_pack_rows(F, x, y)       # (N, W), shared by all windows
 
@@ -798,8 +832,7 @@ def msm(F, scalars, A, *, window_bits: int | None = None,
             F, keys[t], R, L, em_rows, inf)
         window_sums.append(_r_window_tail(
             F, key_sorted, col_total, nb, lb_bits, prefix_rows))
-    Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
-    return _r_horner_to_jac(F, Ws, w)
+    return tree_map(lambda *cs: jnp.stack(cs), *window_sums)
 
 
 def msm_g1(scalars, A, **kw):
@@ -1251,16 +1284,19 @@ def msm_precomputed(F, scalars, A_expanded, *, window_bits: int, factor: int,
         while m % n_pieces and n_pieces < 64:
             n_pieces += 1
         per = -(-m // n_pieces)
-        parts = []
+        # As in :func:`msm`'s chunk path: the window span T' depends only
+        # on (w, factor, num_bits), never the chunk size, so per-window
+        # sums fold across chunks and the Horner ladder runs once.
+        Ws_acc = None
         for s in range(0, m, per):
             e = min(s + per, m)
             Ai = (_slice_factor_blocks(x, m, s, e, factor),
                   _slice_factor_blocks(y, m, s, e, factor),
                   _slice_factor_blocks(inf, m, s, e, factor))
-            parts.append(_msm_precomputed_core(
-                F, scalars[..., s:e], Ai, window_bits, factor, num_bits))
-        stacked = tree_map(lambda *cs: jnp.stack(cs, axis=-1), *parts)
-        return pt.sum_reduce(F, stacked)
+            Wi = _precomputed_window_sums(
+                F, scalars[..., s:e], Ai, window_bits, factor, num_bits)
+            Ws_acc = Wi if Ws_acc is None else _r_ws_add(F, Ws_acc, Wi)
+        return _r_horner_to_jac(F, Ws_acc, window_bits)
     return _msm_precomputed_core(F, scalars, A_expanded, window_bits, factor,
                                  num_bits)
 
@@ -1269,6 +1305,15 @@ def _msm_precomputed_core(F, scalars_std, A_expanded, w: int, factor: int,
                           num_bits: int):
     """One-shot precomputed-bases window loop (standard-form, GLV-split
     scalars; bases block-major over ``factor`` blocks)."""
+    Ws = _precomputed_window_sums(F, scalars_std, A_expanded, w, factor,
+                                  num_bits)
+    return _r_horner_to_jac(F, Ws, w)
+
+
+def _precomputed_window_sums(F, scalars_std, A_expanded, w: int, factor: int,
+                             num_bits: int):
+    """Per-window bucket sums for the precomputed-bases pipeline (leaves
+    (T', K)); the Horner ladder is the caller's (so chunked runs share it)."""
     x, y, inf = A_expanded
     n_eff = inf.shape[-1]
     nb = 1 << (w - 1)
@@ -1286,5 +1331,4 @@ def _msm_precomputed_core(F, scalars_std, A_expanded, w: int, factor: int,
             F, keys[t], R, L, em_rows, inf)
         window_sums.append(_r_window_tail(
             F, key_sorted, col_total, nb, lb_bits, prefix_rows))
-    Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
-    return _r_horner_to_jac(F, Ws, w)
+    return tree_map(lambda *cs: jnp.stack(cs), *window_sums)
