@@ -915,16 +915,25 @@ def msm_batch_shared(F, scalars_b, A, *, window_bits: int | None = None,
 
 def _msm_batch_core(F, scalars_b, A, w: int, factor: int, num_bits: int):
     """Batched window loop over standard-form (GLV-split) scalars, with
-    memory-aware chunking on both axes (core/msm.rs:1136-1141 analog):
+    memory-aware chunking on both axes (core/msm.rs:1136-1141 analog) —
+    all splitting happens at the window-sum level so the Horner ladder
+    runs once regardless of how the inputs were partitioned."""
+    return _r_horner_to_jac(
+        F, _batch_window_sums(F, scalars_b, A, w, factor, num_bits), w)
+
+
+def _batch_window_sums(F, scalars_b, A, w: int, factor: int, num_bits: int):
+    """Per-window bucket sums for the shared-bases batch pipeline (leaves
+    (T', K, B)), with memory-aware chunking on both axes:
 
     * the batched tiles scale with B while the element-major table is
       shared, so the per-shot group size is capped by the HBM budget and
       groups run sequentially (equal sizes -> the staged jits compile
-      once);
+      once); group window sums concatenate along the batch axis;
     * when even ONE batch member overflows the budget left after the
       caller's live buffers, the point axis chunks first (every factor
-      block sliced consistently) and the partial results combine by the
-      group law — the same rule as :func:`msm_precomputed`.
+      block sliced consistently) and the chunks' window sums fold with
+      :func:`_r_ws_add` — the same rule as :func:`msm_precomputed`.
     """
     x, y, inf = A
     n_eff = inf.shape[-1]
@@ -942,16 +951,16 @@ def _msm_batch_core(F, scalars_b, A, w: int, factor: int, num_bits: int):
         per = -(-m // n_pieces)
         if per >= m:
             per = max(1, m // 2)  # always shrink: a no-progress split recurses forever
-        parts = []
+        Ws_acc = None
         for s in range(0, m, per):
             e = min(s + per, m)
             Ai = (_slice_factor_blocks(x, m, s, e, factor),
                   _slice_factor_blocks(y, m, s, e, factor),
                   _slice_factor_blocks(inf, m, s, e, factor))
-            parts.append(_msm_batch_core(
-                F, scalars_b[..., s:e], Ai, w, factor, num_bits))
-        stacked = tree_map(lambda *cs: jnp.stack(cs, axis=-1), *parts)
-        return pt.sum_reduce(F, stacked)
+            Wi = _batch_window_sums(
+                F, scalars_b[..., s:e], Ai, w, factor, num_bits)
+            Ws_acc = Wi if Ws_acc is None else _r_ws_add(F, Ws_acc, Wi)
+        return Ws_acc
     room = max(budget - shared, per_b)
     bg = max(1, min(B, room // per_b))
     if bg < B:
@@ -959,7 +968,7 @@ def _msm_batch_core(F, scalars_b, A, w: int, factor: int, num_bits: int):
         per = -(-B // ngroups)
         parts = []
         for s in range(0, B, per):
-            parts.append(_msm_batch_core(
+            parts.append(_batch_window_sums(
                 F, scalars_b[:, s:s + per], A, w, factor, num_bits))
         return tree_map(lambda *cs: jnp.concatenate(cs, axis=-1), *parts)
     nb = 1 << (w - 1)
@@ -989,8 +998,7 @@ def _msm_batch_core(F, scalars_b, A, w: int, factor: int, num_bits: int):
             F, keys[t], R, L, em_rows, inf)
         window_sums.append(_r_window_tail_batch(
             F, key_sorted, col_total, nb, lb_bits, prefix_rows))
-    Ws = tree_map(lambda *cs: jnp.stack(cs), *window_sums)
-    return _r_horner_to_jac(F, Ws, w)
+    return tree_map(lambda *cs: jnp.stack(cs), *window_sums)
 
 
 # -----------------------------------------------------------------------------
